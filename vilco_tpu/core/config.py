@@ -1,0 +1,295 @@
+"""Typed configuration system.
+
+One config schema replaces the reference's three styles (MQ/NLQ DEFAULTS-dict +
+recursive YAML merge at MQ/libs/core/config.py:4-204, VQ global easydict at
+VQ/config/config.py). Frozen dataclasses keep model configs hashable so they
+can be static arguments to `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Mapping, Optional, Tuple
+
+import yaml
+
+
+def _freeze(v):
+    """Recursively convert lists to tuples so configs stay hashable."""
+    if isinstance(v, list):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, tuple):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+class _Base:
+    """Mixin: dict-merge construction and replace()."""
+
+    @classmethod
+    def from_dict(cls, d: Optional[Mapping[str, Any]]):
+        d = dict(d or {})
+        kwargs = {}
+        for f in fields(cls):  # type: ignore[arg-type]
+            if f.name not in d:
+                continue
+            v = d.pop(f.name)
+            sub = _SUBCONFIG_TYPES.get((cls, f.name))
+            if sub is not None and isinstance(v, Mapping):
+                v = sub.from_dict(v)
+            kwargs[f.name] = _freeze(v)
+        if d:
+            raise ValueError(f"Unknown {cls.__name__} keys: {sorted(d)}")
+        return cls(**kwargs)  # type: ignore[call-arg]
+
+    def updated(self, **kw):
+        return replace(self, **{k: _freeze(v) for k, v in kw.items()})
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+
+@dataclass(frozen=True)
+class DatasetConfig(_Base):
+    """Mirrors reference `dataset` section (MQ/libs/core/config.py:14-41)."""
+
+    name: str = "ego4d_mq"
+    json_file: str = ""
+    feat_folder: Tuple[str, ...] = ()
+    file_prefix: str = ""
+    file_ext: Tuple[str, ...] = (".pt",)
+    feat_stride: float = 1.0
+    num_frames: float = 1.0
+    default_fps: Optional[float] = None
+    input_dim: int = 4096
+    num_classes: int = 110          # max classes over all CL tasks (static)
+    downsample_rate: int = 1
+    max_seq_len: int = 1024
+    trunc_thresh: float = 0.3
+    crop_ratio: Optional[Tuple[float, float]] = (0.9, 1.0)
+    force_upsampling: bool = True
+    use_text: bool = False
+    text_feat_folder: str = ""
+    use_narration: bool = False
+    narration_feat_folder: str = ""
+    narration_jsonl: str = ""
+    max_text_len: int = 128
+    max_narration_len: int = 128
+    max_segments: int = 64          # static GT padding per clip
+    # NLQ extras (NLQ/libs/core/config.py)
+    train_jsonl_file: str = ""
+    val_jsonl_file: str = ""
+    video_feat_dir: str = ""
+    text_feat_dir: str = ""
+    val_text_feat_dir: str = ""
+    input_txt_dim: int = 512
+    enable_temporal_jittering: bool = False
+
+
+@dataclass(frozen=True)
+class TrainCfg(_Base):
+    """Mirrors reference `train_cfg` (MQ/libs/core/config.py:92-123)."""
+
+    center_sample: str = "radius"
+    center_sample_radius: float = 1.5
+    loss_weight: float = 1.0
+    cls_prior_prob: float = 0.01
+    init_loss_norm: float = 100.0
+    clip_grad_l2norm: float = 1.0
+    dropout: float = 0.0
+    droppath: float = 0.1
+    label_smoothing: float = 0.0
+    t_c_alpha: float = 0.8
+    al_loss_weight: float = 0.0
+    temperature: float = 0.07
+
+
+@dataclass(frozen=True)
+class TestCfg(_Base):
+    """Mirrors reference `test_cfg` (MQ/libs/core/config.py:124-139)."""
+
+    pre_nms_thresh: float = 0.001
+    pre_nms_topk: int = 2000
+    iou_threshold: float = 0.1
+    min_score: float = 0.001
+    max_seg_num: int = 200
+    nms_method: str = "soft"        # soft | hard | none
+    nms_sigma: float = 0.75
+    duration_thresh: float = 0.05
+    multiclass_nms: bool = True
+    voting_thresh: float = 0.75
+    ext_score_file: str = ""
+
+
+@dataclass(frozen=True)
+class CLCfg(_Base):
+    """Mirrors reference `cl_cfg` (MQ/libs/core/config.py:140-162)."""
+
+    name: str = "naive"             # naive|ewc|mas|icarl|bic|l2p|vilco
+    memory_size: int = 0
+    pkl_file: str = ""
+    random_order: bool = False
+    reg_lambda: float = 0.0
+    type_sampling: str = "icarl"
+    path_memory: str = "path_memory.pkl"
+    prompt_pool: bool = False
+    pool_size: int = 10
+    topk: int = 4
+    length: int = 20
+    embed_dim: int = 768
+    narration_ssl: bool = False
+    narration_dim: int = 512
+    ssl_factor: float = 0.03
+    use_adapt: bool = False
+    adapt_blocks: Tuple[int, ...] = ()
+    dist_factor: float = 0.01       # iCaRL/BiC distillation weight (meta_archs.py:1488,1509)
+    num_tasks: int = 5
+    classes_per_task: int = 22
+
+
+@dataclass(frozen=True)
+class ModelConfig(_Base):
+    """Mirrors reference `model` section + derived fields.
+
+    Reference: MQ/libs/core/config.py:45-91 plus `_update_config` (:189-197)
+    which copies dataset dims into the model config.
+    """
+
+    name: str = "point_transformer"
+    backbone_type: str = "convTransformer"
+    fpn_type: str = "identity"
+    backbone_arch: Tuple[int, ...] = (2, 2, 9)
+    scale_factor: int = 2
+    regression_range: Tuple[Tuple[float, float], ...] = (
+        (0, 4), (2, 8), (4, 16), (8, 32), (16, 64), (32, 128),
+        (64, 256), (128, 512), (256, 1024), (512, 10000),
+    )
+    n_head: int = 16
+    n_mha_win_size: int = -1
+    embd_kernel_size: int = 3
+    embd_dim: int = 1024
+    embd_with_ln: bool = True
+    fpn_dim: int = 1024
+    fpn_with_ln: bool = True
+    fpn_start_level: int = 0
+    head_dim: int = 1024
+    head_kernel_size: int = 3
+    head_num_layers: int = 3
+    head_with_ln: bool = True
+    max_buffer_len_factor: float = 1.0
+    use_abs_pe: bool = True
+    use_rel_pe: bool = False
+    use_cross_modal: bool = False
+    use_xl: bool = False
+    xl_layers: int = 1
+    xl_d_inner: int = 2048
+    xl_mem_len: int = 256
+    n_txt_in: int = 768
+    # derived from dataset at load time
+    input_dim: int = 4096
+    num_classes: int = 110
+    max_seq_len: int = 1024
+    # numerics
+    compute_dtype: str = "bfloat16"
+    # cross-modal levels: branch levels excluded from text cross-attention
+    # (reference hardcodes [1, 2]; MQ/libs/modeling/backbones.py:280-283)
+    cross_modal_skip_levels: Tuple[int, ...] = (1, 2)
+
+    @property
+    def num_fpn_levels(self) -> int:
+        return self.backbone_arch[-1] + 1 - self.fpn_start_level
+
+    @property
+    def fpn_strides(self) -> Tuple[int, ...]:
+        return tuple(
+            self.scale_factor ** i
+            for i in range(self.fpn_start_level, self.backbone_arch[-1] + 1)
+        )
+
+    @property
+    def max_div_factor(self) -> int:
+        """Padding divisor so every pyramid level divides evenly.
+
+        Reference: MQ/libs/modeling/meta_archs.py:405-416.
+        """
+        win = self.n_mha_win_size
+        wins = [win] * (1 + self.backbone_arch[-1])
+        mdf = 1
+        for s, w in zip(self.fpn_strides, wins):
+            stride = s * (w // 2) * 2 if w > 1 else s
+            mdf = max(mdf, stride)
+        return mdf
+
+
+@dataclass(frozen=True)
+class OptCfg(_Base):
+    """Mirrors reference `opt` (MQ/libs/core/config.py:164-181)."""
+
+    type: str = "adamw"
+    momentum: float = 0.9
+    weight_decay: float = 0.05
+    learning_rate: float = 1e-4
+    epochs: int = 10
+    warmup: bool = True
+    warmup_epochs: int = 5
+    schedule_type: str = "cosine"
+    schedule_steps: Tuple[int, ...] = ()
+    schedule_gamma: float = 0.1
+    eta_min: float = 1e-8
+    ema_decay: float = 0.0          # model EMA (train_utils.py ModelEma); 0 = off
+
+
+@dataclass(frozen=True)
+class LoaderCfg(_Base):
+    batch_size: int = 2
+    num_workers: int = 0
+    prefetch: int = 2
+
+
+@dataclass(frozen=True)
+class Config(_Base):
+    """Top-level experiment configuration."""
+
+    task: str = "mq"                # mq | nlq | vq
+    init_rand_seed: int = 0
+    train_split: Tuple[str, ...] = ("train",)
+    val_split: Tuple[str, ...] = ("val",)
+    output_folder: str = "./logs/"
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train_cfg: TrainCfg = field(default_factory=TrainCfg)
+    test_cfg: TestCfg = field(default_factory=TestCfg)
+    cl_cfg: CLCfg = field(default_factory=CLCfg)
+    opt: OptCfg = field(default_factory=OptCfg)
+    loader: LoaderCfg = field(default_factory=LoaderCfg)
+
+    def derived(self) -> "Config":
+        """Propagate dataset dims into the model config.
+
+        Mirrors `_update_config` (MQ/libs/core/config.py:189-197).
+        """
+        model = self.model.updated(
+            input_dim=self.dataset.input_dim,
+            num_classes=self.dataset.num_classes,
+            max_seq_len=self.dataset.max_seq_len,
+        )
+        return self.updated(model=model)
+
+
+_SUBCONFIG_TYPES = {
+    (Config, "dataset"): DatasetConfig,
+    (Config, "model"): ModelConfig,
+    (Config, "train_cfg"): TrainCfg,
+    (Config, "test_cfg"): TestCfg,
+    (Config, "cl_cfg"): CLCfg,
+    (Config, "opt"): OptCfg,
+    (Config, "loader"): LoaderCfg,
+}
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML config merged over the typed defaults."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return Config.from_dict(raw).derived()

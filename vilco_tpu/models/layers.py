@@ -1,0 +1,408 @@
+"""Flax building blocks for the point-transformer trunk.
+
+TPU-native re-design of MQ/libs/modeling/blocks.py. Layout is (B, T, C)
+everywhere; masks are (B, T) bool. Modules:
+
+  MaskedConv        <- MaskedConv1D            blocks.py:57
+  LayerNormC        <- LayerNorm (channel LN)  blocks.py:133
+  MaskedMHCA        <- MaskedMHCA / LocalMaskedMHCA  blocks.py:272 / :871
+  MaskedMHA         <- MaskedMHA (self/cross)  blocks.py:194
+  ChannelBlock      <- ChannelAttention+Block  blocks.py:412-467
+  TransformerBlock  <- TransformerBlock        blocks.py:468-594
+  TimeAdapter       <- meta_archs.Adapter "pets" (MQ meta_archs.py:105-140):
+                       a bottleneck MLP over the TIME axis whose output length
+                       is T/2 (matching the strided attention output)
+  AffineDropPath    <- blocks.py:655-670
+  XLRelAttention    <- XLNetRelativeAttention (modeling_xlnet_x.py:210+),
+                       single-stream bi attention as used by the backbone
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vilco_tpu.ops.attention import banded_attention, channel_attention, masked_attention
+from vilco_tpu.ops.masked import channel_layernorm, masked_conv1d, masked_max_pool1d
+
+
+class MaskedConv(nn.Module):
+    """Masked 1-D conv (same padding); see ops.masked.masked_conv1d."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_uniform(),
+            (self.kernel_size, cin // self.groups, self.features),
+            jnp.float32,
+        ).astype(x.dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            ).astype(x.dtype)
+        return masked_conv1d(
+            x, mask, kernel, bias, stride=self.stride, groups=self.groups
+        )
+
+
+class LayerNormC(nn.Module):
+    """Channel LayerNorm with affine params (blocks.py:133-175)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        w = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return channel_layernorm(x, w.astype(x.dtype), b.astype(x.dtype), self.eps)
+
+
+def _drop_path(x, rate, deterministic, rng):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x / keep * mask
+
+
+class AffineDropPath(nn.Module):
+    """Per-channel learnable scale (init 1e-4) + stochastic depth
+    (blocks.py:655-670)."""
+
+    drop_rate: float = 0.0
+    init_scale: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.constant(self.init_scale), (1, 1, c),
+            jnp.float32,
+        ).astype(x.dtype)
+        out = scale * x
+        if not deterministic and self.drop_rate > 0.0:
+            rng = self.make_rng("dropout")
+            out = _drop_path(out, self.drop_rate, deterministic, rng)
+        return out
+
+
+class MaskedMHA(nn.Module):
+    """Dense masked MHA with 1x1 projections; self- or cross-attention
+    (blocks.py:194-270)."""
+
+    n_embd: int
+    n_head: int
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, enc=None, enc_mask=None, deterministic=True):
+        H = self.n_head
+        D = self.n_embd // H
+        dense = lambda name: nn.Dense(self.n_embd, name=name, dtype=x.dtype)
+        if enc is not None:
+            q = dense("query")(x)
+            k = dense("key")(enc)
+            v = dense("value")(enc)
+            kv_mask = enc_mask
+        else:
+            q = dense("query")(x)
+            k = dense("key")(x)
+            v = dense("value")(x)
+            kv_mask = mask
+        B, Tq = q.shape[:2]
+        Tk = k.shape[1]
+        out = masked_attention(
+            q.reshape(B, Tq, H, D),
+            k.reshape(B, Tk, H, D),
+            v.reshape(B, Tk, H, D),
+            kv_mask,
+        ).reshape(B, Tq, self.n_embd)
+        out = dense("proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out * mask[..., None].astype(out.dtype), mask
+
+
+class MaskedMHCA(nn.Module):
+    """Multi-head conv attention: depthwise-conv q/k/v preprocessing (with
+    optional stride-2 downsampling) + LN + attention (blocks.py:272-411).
+    window > 0 switches the attention core to the banded/sliding-window form
+    (LocalMaskedMHCA, blocks.py:871-1208).
+    """
+
+    n_embd: int
+    n_head: int
+    n_qx_stride: int = 1
+    n_kv_stride: int = 1
+    window: int = -1          # half-window for banded attention; <=0 dense
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        H, E = self.n_head, self.n_embd
+        D = E // H
+
+        q_ks = self.n_qx_stride + 1 if self.n_qx_stride > 1 else 3
+        kv_ks = self.n_kv_stride + 1 if self.n_kv_stride > 1 else 3
+
+        q, q_mask = MaskedConv(E, q_ks, stride=self.n_qx_stride, groups=E,
+                               use_bias=False, name="query_conv")(x, mask)
+        q = LayerNormC(name="query_norm")(q)
+        k, kv_mask = MaskedConv(E, kv_ks, stride=self.n_kv_stride, groups=E,
+                                use_bias=False, name="key_conv")(x, mask)
+        k = LayerNormC(name="key_norm")(k)
+        v, _ = MaskedConv(E, kv_ks, stride=self.n_kv_stride, groups=E,
+                          use_bias=False, name="value_conv")(x, mask)
+        v = LayerNormC(name="value_norm")(v)
+
+        q = nn.Dense(E, name="query", dtype=x.dtype)(q)
+        k = nn.Dense(E, name="key", dtype=x.dtype)(k)
+        v = nn.Dense(E, name="value", dtype=x.dtype)(v)
+
+        B, Tq = q.shape[:2]
+        Tk = k.shape[1]
+        q = q.reshape(B, Tq, H, D)
+        k = k.reshape(B, Tk, H, D)
+        v = v.reshape(B, Tk, H, D)
+        if self.window > 0 and Tq == Tk:
+            out = banded_attention(q, k, v, kv_mask, window=self.window)
+        else:
+            out = masked_attention(q, k, v, kv_mask)
+        out = out.reshape(B, Tq, E)
+        out = nn.Dense(E, name="proj", dtype=x.dtype)(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out * q_mask[..., None].astype(out.dtype), q_mask
+
+
+class ChannelBlock(nn.Module):
+    """Channel (transposed) attention block (blocks.py:438-467): LN qkv ->
+    channel attention -> residual; LN -> MLP -> residual."""
+
+    n_embd: int
+    n_head: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        H = self.n_head
+        B, T, C = x.shape
+        qkv = nn.Dense(3 * C, use_bias=False, name="qkv", dtype=x.dtype)(x)
+        qkv = qkv.reshape(B, T, 3, H, C // H)
+        cur = channel_attention(qkv, H).reshape(B, T, C)
+        cur = nn.Dense(C, name="proj", dtype=x.dtype)(cur)
+        if not deterministic and self.drop_path > 0:
+            cur = _drop_path(cur, self.drop_path, deterministic,
+                             self.make_rng("dropout"))
+        x = x + cur
+        h = nn.LayerNorm(name="norm2", dtype=x.dtype)(x)
+        h = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1", dtype=x.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(C, name="mlp_fc2", dtype=x.dtype)(h)
+        if not deterministic and self.drop_path > 0:
+            h = _drop_path(h, self.drop_path, deterministic,
+                           self.make_rng("dropout"))
+        return x + h
+
+
+class TimeAdapter(nn.Module):
+    """CL "pets" adapter — bottleneck MLP over the time axis.
+
+    Faithful to meta_archs.Adapter (MQ/libs/modeling/meta_archs.py:105-140):
+    nn.Linear applied to a (B, C, T) tensor acts on T, so the adapter maps
+    T -> 5T -> T/2 and its output is added in parallel to the strided
+    attention output. Zero-init on the second projection.
+    """
+
+    t_in: int
+    down_sample: int = 5
+    t_out_factor: int = 2   # output length = t_in // t_out_factor
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, T, C)
+        B, T, C = x.shape
+        assert T == self.t_in, (T, self.t_in)
+        hidden = self.down_sample * self.t_in
+        xt = jnp.swapaxes(x, 1, 2)   # (B, C, T)
+        h = nn.Dense(hidden, name="fc1", dtype=x.dtype)(xt)
+        h = nn.gelu(h)
+        h = nn.Dense(
+            self.t_in // self.t_out_factor, name="fc2",
+            kernel_init=nn.initializers.zeros, dtype=x.dtype,
+        )(h)
+        return jnp.swapaxes(h, 1, 2)  # (B, T/2, C)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer block with masked conv attention, maxpool residual
+    on downsampling, optional text cross-attention, channel-attention blend
+    (blocks.py:468-594).
+
+    The optional `adapter` flag adds the CL TimeAdapter in parallel with the
+    attention (AdapterMixin.adapt_module + attach_pets,
+    meta_archs.py:685-690). Its params live under this block so EMA/freeze
+    logic can address them by path.
+    """
+
+    n_embd: int
+    n_head: int
+    n_ds_stride: int = 1
+    n_hidden: Optional[int] = None
+    proj_drop: float = 0.0
+    path_drop: float = 0.0
+    t_c_alpha: float = 0.8
+    window: int = -1
+    use_cross_modal: bool = False
+    use_channel_attn: bool = True
+    adapter_t_in: int = 0      # >0: attach TimeAdapter with this input length
+
+    @nn.compact
+    def __call__(self, x, mask, cross_y=None, cross_y_mask=None,
+                 deterministic=True, adapter_params=None):
+        E = self.n_embd
+        s = self.n_ds_stride
+
+        ln1 = LayerNormC(name="ln1")(x)
+        out, out_mask = MaskedMHCA(
+            E, self.n_head, n_qx_stride=s, n_kv_stride=s, window=self.window,
+            proj_drop=self.proj_drop, name="attn",
+        )(ln1, mask, deterministic=deterministic)
+
+        if self.adapter_t_in > 0:
+            adapt = TimeAdapter(self.adapter_t_in, name="adapter")(ln1)
+            out = out + adapt
+
+        out_mask_f = out_mask[..., None].astype(out.dtype)
+        if s > 1:
+            skip, _ = masked_max_pool1d(x, mask, kernel=s + 1, stride=s)
+        else:
+            skip = x
+        out = skip * out_mask_f + AffineDropPath(
+            self.path_drop, name="drop_path_attn"
+        )(out, deterministic)
+
+        if self.use_cross_modal and cross_y is not None:
+            ln3 = LayerNormC(name="ln3")
+            cross_out, _ = MaskedMHA(
+                E, self.n_head, proj_drop=self.proj_drop, name="cross_attn",
+            )(ln3(out), out_mask, enc=ln3(cross_y), enc_mask=cross_y_mask,
+              deterministic=deterministic)
+            out = out * out_mask_f + AffineDropPath(
+                self.path_drop, name="drop_path_cross"
+            )(cross_out, deterministic)
+
+        # FFN
+        n_hidden = self.n_hidden or 4 * E
+        h = LayerNormC(name="ln2")(out)
+        h = nn.Dense(n_hidden, name="mlp_fc1", dtype=x.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.proj_drop)(h, deterministic=deterministic)
+        h = nn.Dense(E, name="mlp_fc2", dtype=x.dtype)(h)
+        h = nn.Dropout(self.proj_drop)(h, deterministic=deterministic)
+        out = out + AffineDropPath(self.path_drop, name="drop_path_mlp")(
+            h * out_mask_f, deterministic
+        )
+
+        # channel-attention mix on stride-1 blocks (blocks.py:578-585)
+        if self.use_channel_attn and s == 1:
+            out2 = ChannelBlock(E, self.n_head, drop_path=self.path_drop,
+                                name="channel_attn")(ln1, deterministic)
+            out = self.t_c_alpha * out + (1.0 - self.t_c_alpha) * out2
+
+        return out, out_mask
+
+
+class XLRelAttention(nn.Module):
+    """Single-stream Transformer-XL relative attention + FF layer.
+
+    Equivalent to the XLNet stage the MQ backbone inserts at branch level 0
+    (MQ/libs/modeling/backbones.py:267-274; XLNetRelativeAttention
+    modeling_xlnet_x.py:210+, attn_type 'bi', no mems / no two-stream as
+    invoked). Post-LN residuals, learned r_w/r_r biases, sinusoid relative
+    positions.
+    """
+
+    d_model: int
+    n_head: int
+    d_inner: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        B, T, C = x.shape
+        H = self.n_head
+        D = C // H
+        scale = 1.0 / (D ** 0.5)
+
+        def head_param(name):
+            return self.param(
+                name, nn.initializers.normal(0.02), (C, H, D), jnp.float32
+            ).astype(x.dtype)
+
+        q_w, k_w, v_w, r_w, o_w = (head_param(n) for n in
+                                   ("q", "k", "v", "r", "o"))
+        r_w_bias = self.param("r_w_bias", nn.initializers.normal(0.02),
+                              (H, D), jnp.float32).astype(x.dtype)
+        r_r_bias = self.param("r_r_bias", nn.initializers.normal(0.02),
+                              (H, D), jnp.float32).astype(x.dtype)
+
+        # relative positional encoding, pos from T..-T (bi attention)
+        pos_seq = jnp.arange(T, -T, -1.0, dtype=jnp.float32)
+        inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, C, 2.0) / C))
+        sin_inp = pos_seq[:, None] * inv_freq[None, :]
+        pos_emb = jnp.concatenate([jnp.sin(sin_inp), jnp.cos(sin_inp)],
+                                  axis=-1).astype(x.dtype)   # (2T, C)
+
+        q = jnp.einsum("btc,chd->bthd", x, q_w)
+        k = jnp.einsum("btc,chd->bthd", x, k_w)
+        v = jnp.einsum("btc,chd->bthd", x, v_w)
+        r = jnp.einsum("tc,chd->thd", pos_emb, r_w)
+
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q + r_w_bias[None, None], k)
+        bd = jnp.einsum("bqhd,khd->bhqk", q + r_r_bias[None, None], r)
+        # rel_shift_bnij (modeling_xlnet_x.py:264-276), klen = T
+        bd = bd.reshape(B, H, 2 * T, T)[:, :, 1:, :]
+        bd = bd.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
+
+        att = (ac + bd) * scale
+        att = jnp.where(mask[:, None, None, :], att, -1e9)
+        att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+        att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
+        vm = v * mask[:, :, None, None].astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, vm)
+        out = jnp.einsum("bqhd,chd->bqc", out, o_w)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        x = nn.LayerNorm(name="ln_attn", dtype=x.dtype)(x + out)
+
+        h = nn.Dense(self.d_inner, name="ff1", dtype=x.dtype)(x)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, name="ff2", dtype=x.dtype)(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = nn.LayerNorm(name="ln_ff", dtype=x.dtype)(x + h)
+        return x * mask[..., None].astype(x.dtype)
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (blocks.py:607-626)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale", nn.initializers.constant(self.init_value),
+                       (), jnp.float32).astype(x.dtype)
+        return x * s
