@@ -1,0 +1,173 @@
+"""Integration: model init + jitted train/eval steps on synthetic data.
+
+Checks the full L2-L4 slice: forward shapes, loss decrease over steps,
+decode output sanity, adapter EMA plumbing, prompt/SSL extras.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vilco_tpu.core.config import CLCfg
+from vilco_tpu.data.synthetic import make_batch, tiny_config
+from vilco_tpu.models.point_transformer import PointTransformer, level_lengths
+from vilco_tpu.ops.assign import generate_points
+from vilco_tpu.ops.decode import decode_and_nms_batch
+from vilco_tpu.train.engine import (
+    CLBatchExtras,
+    TrainState,
+    _extract_adapters,
+    init_adapter_ema,
+    make_eval_step,
+    make_train_step,
+)
+from vilco_tpu.train.optim import make_optimizer
+
+
+def _to_jnp(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def build(cfg, rng_seed=0, batch=None):
+    model = PointTransformer(cfg.model, cfg.cl_cfg)
+    rng = np.random.default_rng(rng_seed)
+    if batch is None:
+        batch = make_batch(rng, cfg.loader.batch_size, cfg)
+    variables = model.init(
+        jax.random.PRNGKey(rng_seed),
+        jnp.asarray(batch["feats"]), jnp.asarray(batch["mask"]),
+        text=jnp.asarray(batch["text"]) if "text" in batch else None,
+        text_mask=jnp.asarray(batch["text_mask"]) if "text_mask" in batch else None,
+        narration=jnp.asarray(batch["narration"]) if "narration" in batch else None,
+        narration_mask=jnp.asarray(batch["narration_mask"]) if "narration_mask" in batch else None,
+        deterministic=True,
+    )
+    return model, variables["params"], batch
+
+
+def test_forward_shapes_and_masks():
+    cfg = tiny_config()
+    model, params, batch = build(cfg)
+    out = model.apply(
+        {"params": params}, jnp.asarray(batch["feats"]),
+        jnp.asarray(batch["mask"]), deterministic=True,
+    )
+    P = sum(level_lengths(cfg.model))
+    B = cfg.loader.batch_size
+    C = cfg.model.num_classes
+    assert out["cls_logits"].shape == (B, P, C)
+    assert out["offsets"].shape == (B, P, 2)
+    assert out["fpn_mask"].shape == (B, P)
+    assert out["level_lengths"] == level_lengths(cfg.model)
+    assert bool(jnp.all(out["offsets"] >= 0))
+    # masked positions produce masked fpn entries
+    assert not bool(out["fpn_mask"].all())
+
+
+def test_train_step_loss_decreases():
+    cfg = tiny_config()
+    model, params, batch = build(cfg)
+    tx, _ = make_optimizer(cfg.opt, params, steps_per_epoch=10)
+    points = jnp.asarray(generate_points(
+        level_lengths(cfg.model), cfg.model.fpn_strides,
+        cfg.model.regression_range,
+    ))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params),
+        loss_normalizer=jnp.asarray(cfg.train_cfg.init_loss_norm),
+        rng=jax.random.PRNGKey(1),
+    )
+    step = make_train_step(model, tx, points, cfg)
+    cl = CLBatchExtras(class_mask=jnp.ones((cfg.model.num_classes,), bool))
+
+    rng = np.random.default_rng(3)
+    losses = []
+    for i in range(8):
+        b = _to_jnp(make_batch(rng, cfg.loader.batch_size, cfg))
+        state, metrics, _ = step(state, b, cl)
+        losses.append(float(metrics["final_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_eval_step_and_decode():
+    cfg = tiny_config()
+    model, params, batch = build(cfg)
+    eval_step = make_eval_step(model, cfg)
+    out = eval_step(params, _to_jnp(batch))
+    points = jnp.asarray(generate_points(
+        level_lengths(cfg.model), cfg.model.fpn_strides,
+        cfg.model.regression_range,
+    ))
+    tcfg = cfg.test_cfg
+    det = decode_and_nms_batch(
+        points, out["cls_logits"], out["offsets"], out["fpn_mask"],
+        jnp.ones((cfg.model.num_classes,), bool),
+        num_classes=cfg.model.num_classes,
+        pre_nms_topk=tcfg.pre_nms_topk, pre_nms_thresh=tcfg.pre_nms_thresh,
+        duration_thresh=tcfg.duration_thresh, max_seg_num=tcfg.max_seg_num,
+        iou_threshold=tcfg.iou_threshold, min_score=tcfg.min_score,
+        nms_sigma=tcfg.nms_sigma, voting_thresh=tcfg.voting_thresh,
+        use_soft_nms=True, multiclass=True,
+    )
+    assert det.segs.shape == (cfg.loader.batch_size, tcfg.max_seg_num, 2)
+
+
+def test_vilco_extras_prompt_ssl_adapter():
+    """Full ViLCo config: cross-modal text, L2P prompts, narration SSL,
+    time adapters + EMA."""
+    cfg = tiny_config(**{
+        "dataset": {"use_text": True, "use_narration": True},
+        "model": {"use_cross_modal": True, "n_txt_in": 12},
+        "cl_cfg": {
+            "prompt_pool": True, "pool_size": 6, "topk": 2, "length": 3,
+            "embed_dim": 12, "narration_ssl": True, "narration_dim": 8,
+            "memory_size": 32, "use_adapt": True, "adapt_blocks": (0, 1),
+            "ssl_factor": 0.05,
+        },
+    })
+    model, params, batch = build(cfg)
+    adapters = _extract_adapters(params)
+    assert len(adapters) > 0, "adapters must exist under branch blocks"
+
+    tx, _ = make_optimizer(cfg.opt, params, steps_per_epoch=10)
+    points = jnp.asarray(generate_points(
+        level_lengths(cfg.model), cfg.model.fpn_strides,
+        cfg.model.regression_range,
+    ))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params),
+        loss_normalizer=jnp.asarray(cfg.train_cfg.init_loss_norm),
+        rng=jax.random.PRNGKey(1),
+        adapter_ema=init_adapter_ema(params),
+    )
+    step = make_train_step(
+        model, tx, points, cfg, cl_method="vilco",
+        use_ssl=True, use_prompt=True, n_known=2,
+    )
+    bank = jnp.zeros((cfg.cl_cfg.memory_size, cfg.model.embd_dim))
+    cl = CLBatchExtras(
+        class_mask=jnp.ones((cfg.model.num_classes,), bool),
+        memory_bank=bank, memory_ptr=jnp.zeros((), jnp.int32),
+    )
+    rng = np.random.default_rng(5)
+    b = _to_jnp(make_batch(rng, cfg.loader.batch_size, cfg))
+    a0 = np.asarray(list(adapters.values())[0])  # snapshot before donation
+    state, metrics, (bank2, ptr2) = step(state, b, cl)
+    assert "ssl_loss" in metrics and np.isfinite(float(metrics["ssl_loss"]))
+    assert "reduce_sim" in metrics
+    # bank advanced by the number of valid narration rows
+    assert int(ptr2) == int(b["narration_valid"].sum())
+    # adapter EMA follows the updated adapters
+    e0 = np.asarray(list(state.adapter_ema.values())[0])
+    assert np.isfinite(e0).all() and e0.shape == a0.shape
+
+    # eval with adapter ensemble runs
+    ev = make_eval_step(model, cfg, ensemble_adapters=True)
+    out = ev(state.params, b, state.adapter_ema)
+    assert np.isfinite(np.asarray(out["cls_logits"])).all()

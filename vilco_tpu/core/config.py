@@ -190,6 +190,11 @@ class ModelConfig(_Base):
     input_dim: int = 4096
     num_classes: int = 110
     max_seq_len: int = 1024
+    # copied from train_cfg by Config.derived() (reference passes train_cfg
+    # into the backbone ctor, meta_archs.py:469-489)
+    dropout: float = 0.0
+    droppath: float = 0.1
+    t_c_alpha: float = 0.8
     # numerics
     compute_dtype: str = "bfloat16"
     # cross-modal levels: branch levels excluded from text cross-attention
@@ -273,6 +278,9 @@ class Config(_Base):
             input_dim=self.dataset.input_dim,
             num_classes=self.dataset.num_classes,
             max_seq_len=self.dataset.max_seq_len,
+            dropout=self.train_cfg.dropout,
+            droppath=self.train_cfg.droppath,
+            t_c_alpha=self.train_cfg.t_c_alpha,
         )
         return self.updated(model=model)
 

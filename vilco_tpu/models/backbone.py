@@ -84,8 +84,8 @@ class ConvTransformerBackbone(nn.Module):
             for i in range(n_stem):
                 src_query, src_query_mask = TransformerBlock(
                     E, cfg.n_head,
-                    proj_drop=cfg_dropout(cfg), path_drop=cfg_droppath(cfg),
-                    t_c_alpha=cfg_tc(cfg), use_cross_modal=False,
+                    proj_drop=cfg.dropout, path_drop=cfg.droppath,
+                    t_c_alpha=cfg.t_c_alpha, use_cross_modal=False,
                     window=cfg.n_mha_win_size, name=f"txt_stem_{i}",
                 )(src_query, src_query_mask, deterministic=deterministic)
 
@@ -93,8 +93,8 @@ class ConvTransformerBackbone(nn.Module):
         for i in range(n_stem):
             x, mask = TransformerBlock(
                 E, cfg.n_head,
-                proj_drop=cfg_dropout(cfg), path_drop=cfg_droppath(cfg),
-                t_c_alpha=cfg_tc(cfg), use_cross_modal=cfg.use_cross_modal,
+                proj_drop=cfg.dropout, path_drop=cfg.droppath,
+                t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
                 window=cfg.n_mha_win_size, name=f"stem_{i}",
             )(x, mask, deterministic=deterministic)
 
@@ -112,8 +112,8 @@ class ConvTransformerBackbone(nn.Module):
         else:
             x, mask = TransformerBlock(
                 E, cfg.n_head,
-                proj_drop=cfg_dropout(cfg), path_drop=cfg_droppath(cfg),
-                t_c_alpha=cfg_tc(cfg), use_cross_modal=cfg.use_cross_modal,
+                proj_drop=cfg.dropout, path_drop=cfg.droppath,
+                t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
                 window=cfg.n_mha_win_size, name="pre_branch",
             )(x, mask, deterministic=deterministic)
 
@@ -124,8 +124,8 @@ class ConvTransformerBackbone(nn.Module):
             )
             x, mask = TransformerBlock(
                 E, cfg.n_head, n_ds_stride=cfg.scale_factor,
-                proj_drop=cfg_dropout(cfg), path_drop=cfg_droppath(cfg),
-                t_c_alpha=cfg_tc(cfg), use_cross_modal=cross,
+                proj_drop=cfg.dropout, path_drop=cfg.droppath,
+                t_c_alpha=cfg.t_c_alpha, use_cross_modal=cross,
                 window=cfg.n_mha_win_size,
                 adapter_t_in=t_cur if i in self.adapt_blocks else 0,
                 name=f"branch_{i}",
@@ -140,15 +140,3 @@ class ConvTransformerBackbone(nn.Module):
             out_masks.append(mask)
 
         return out_feats, out_masks
-
-
-def cfg_dropout(cfg: ModelConfig) -> float:
-    return getattr(cfg, "_dropout", 0.0)
-
-
-def cfg_droppath(cfg: ModelConfig) -> float:
-    return getattr(cfg, "_droppath", 0.1)
-
-
-def cfg_tc(cfg: ModelConfig) -> float:
-    return getattr(cfg, "_t_c_alpha", 0.8)

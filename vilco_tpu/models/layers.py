@@ -37,6 +37,7 @@ class MaskedConv(nn.Module):
     stride: int = 1
     groups: int = 1
     use_bias: bool = True
+    bias_init: float = 0.0
 
     @nn.compact
     def __call__(self, x, mask):
@@ -50,7 +51,8 @@ class MaskedConv(nn.Module):
         bias = None
         if self.use_bias:
             bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                "bias", nn.initializers.constant(self.bias_init),
+                (self.features,), jnp.float32,
             ).astype(x.dtype)
         return masked_conv1d(
             x, mask, kernel, bias, stride=self.stride, groups=self.groups

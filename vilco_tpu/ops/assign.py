@@ -102,8 +102,12 @@ def label_points(
     right = seg_r - t
     dist2center = (right - left) / 2.0
 
-    # learned Gaussian weights; x normalized by stride * length
-    xn = dist2center / (stride * lens)
+    # learned Gaussian weights; x normalized by stride * length.
+    # Padded GT rows can have zero length — guard the division so no
+    # inf/NaN enters the graph (NaN gradients poison mu/sigma otherwise).
+    seg_ok = gt_valid[:, None, :] & (lens > 0)
+    lens_safe = jnp.where(lens > 0, lens, 1.0)
+    xn = jnp.where(seg_ok, dist2center / (stride * lens_safe), 0.0)
     lbl = jnp.clip(gt_labels, 0, num_classes - 1)
     g = lambda m, s: normal_distribution(xn, m[lbl][:, None, :], s[lbl][:, None, :])
     prob_cls_all = g(mu, sigma)              # (B, P, N)

@@ -87,10 +87,10 @@ def masked_max_pool1d(x: jax.Array, mask: jax.Array, kernel: int, stride: int):
     Torch pads with -inf conceptually (ignores padded positions).
     """
     pad = (kernel) // 2
-    neg = jnp.finfo(x.dtype).min
+    # -inf init lets JAX recognize this as max-pool for autodiff
     out = jax.lax.reduce_window(
         x,
-        neg,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, kernel, 1),
         window_strides=(1, stride, 1),

@@ -1,0 +1,382 @@
+"""Jitted train/eval engine for the point-transformer tasks.
+
+TPU-native equivalent of the reference L4 layer (train_one_epoch / losses /
+valid loops, MQ/libs/utils/train_utils.py:278-423 + meta_archs.py:1374-1524).
+The CL episode loop stays in Python (vilco_tpu/cl/episode.py); each step is a
+single jitted `train_step(state, batch, cl)` whose shapes are static across
+every task, so the XLA executable survives task transitions (class growth is
+a mask, not tensor surgery — SURVEY.md section 7).
+
+Everything runs in one fused step on device: forward, label assignment,
+focal/DIoU losses with Gaussian weighting, the auxiliary label-involved and
+SSL-contrastive losses, EWC/MAS penalties, distillation, grad clip, AdamW
+update, loss-normalizer EMA, adapter-EMA update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from vilco_tpu.core.config import Config
+from vilco_tpu.ops.assign import label_points
+from vilco_tpu.ops.losses import ctr_diou_loss_1d, sigmoid_focal_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    loss_normalizer: jax.Array           # EMA of #positives (meta_archs.py:596)
+    rng: jax.Array
+    adapter_ema: Any = None              # EMA copy of CL adapter params
+    ema_params: Any = None               # optional full-model EMA
+
+
+class CLBatchExtras(struct.PyTreeNode):
+    """Per-step CL inputs with static presence decided by the step factory."""
+
+    class_mask: jax.Array                         # (C,) bool — seen classes
+    prev_logits: Optional[jax.Array] = None       # (B, P, C) distill targets
+    memory_bank: Optional[jax.Array] = None       # (M, D) SSL negatives
+    memory_ptr: Optional[jax.Array] = None        # () int32
+    fisher: Any = None                            # stacked (K, ...) pytrees
+    optpar: Any = None
+
+
+def _is_adapter_path(path) -> bool:
+    return any(getattr(p, "key", None) == "adapter" for p in path)
+
+
+def adapter_mask(params):
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: _is_adapter_path(p), params
+    )
+
+
+def merge_adapter_params(params, adapter_params):
+    """Swap adapter leaves of `params` for those in `adapter_params`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, a, b: b if _is_adapter_path(p) else a,
+        params, adapter_params,
+    )
+
+
+def compute_losses(
+    outputs: dict,
+    batch: dict,
+    points: jax.Array,
+    cfg: Config,
+    cl: CLBatchExtras,
+    loss_normalizer: jax.Array,
+    cl_method: str,
+    n_known: int,
+):
+    """The reference `losses` (meta_archs.py:1374-1524), vectorized."""
+    tc = cfg.train_cfg
+    C = cfg.model.num_classes
+    cls_logits = outputs["cls_logits"]        # (B, P, C) f32
+    offsets = outputs["offsets"]              # (B, P, 2)
+    valid = outputs["fpn_mask"]               # (B, P) bool
+    class_mask_f = cl.class_mask.astype(jnp.float32)
+
+    tgt = label_points(
+        points,
+        batch["gt_segments"], batch["gt_labels"], batch["gt_valid"],
+        C, outputs["gaussians"],
+        center_sample=tc.center_sample,
+        center_sample_radius=tc.center_sample_radius,
+    )
+
+    pos_mask = tgt.pos_mask & valid                        # (B, P)
+    num_pos = jnp.sum(pos_mask.astype(jnp.float32))
+    new_norm = 0.9 * loss_normalizer + 0.1 * jnp.maximum(num_pos, 1.0)
+    norm = new_norm
+
+    # --- classification: focal * Gaussian weight (negatives weight 1.0)
+    n_seen = jnp.sum(class_mask_f)
+    gt_target = tgt.cls * (1.0 - tc.label_smoothing)
+    gt_target = gt_target + tc.label_smoothing / (n_seen + 1.0)
+    cls_l = sigmoid_focal_loss(cls_logits, gt_target)      # (B, P, C)
+    cls_l = cls_l * class_mask_f[None, None, :]
+    cls_l = jnp.sum(cls_l, axis=-1)                        # (B, P)
+    w_cls = jnp.where(pos_mask, tgt.prob_cls, 1.0)
+    cls_loss = jnp.sum(cls_l * w_cls * valid) / norm
+
+    # --- label-involved (AL) loss (meta_archs.py:1437-1449)
+    if tc.al_loss_weight > 0 and C > 1:
+        masked_logits = jnp.where(valid[..., None], cls_logits, -1e7)
+        masked_logits = jnp.where(cl.class_mask[None, None, :],
+                                  masked_logits, -1e7)
+        probs = jax.nn.softmax(masked_logits, axis=-1)
+        max_per_class = jnp.max(probs, axis=1)             # (B, C)
+        involved = jnp.zeros_like(max_per_class)
+        lbl = jnp.clip(batch["gt_labels"], 0, C - 1)
+        involved = involved.at[
+            jnp.arange(lbl.shape[0])[:, None], lbl
+        ].max(batch["gt_valid"].astype(jnp.float32))
+        p = jnp.clip(max_per_class, 1e-7, 1.0 - 1e-7)
+        al = -involved * jnp.log(p) - (1 - involved) * jnp.log1p(-p)
+        al = al * class_mask_f[None, :]
+        al_loss = jnp.sum(al) / norm
+    else:
+        al_loss = jnp.zeros(())
+
+    # --- regression: DIoU * Gaussian weights on positives
+    reg_l = ctr_diou_loss_1d(offsets, jnp.maximum(tgt.reg, 0.0))  # (B, P)
+    w_reg = 0.5 * (tgt.prob_reg_left + tgt.prob_reg_right) * tgt.prob_cls
+    reg_loss = jnp.sum(reg_l * w_reg * pos_mask) / norm
+    reg_loss = jnp.where(num_pos > 0, reg_loss, 0.0)
+
+    loss_weight = tc.loss_weight if tc.loss_weight > 0 else 1.0
+    final = cls_loss + reg_loss * loss_weight + al_loss * tc.al_loss_weight
+    metrics = {
+        "cls_loss": cls_loss,
+        "reg_loss": reg_loss,
+        "al_loss": al_loss,
+        "num_pos": num_pos,
+    }
+
+    # --- L2P pull constraint (meta_archs.py:1476-1479)
+    if "reduce_sim" in outputs and n_known > 0:
+        final = final - 0.1 * outputs["reduce_sim"]
+        metrics["reduce_sim"] = outputs["reduce_sim"]
+
+    # --- distillation (iCaRL BCE / BiC soft-target, meta_archs.py:1480-1519)
+    if cl.prev_logits is not None and n_known > 0:
+        known = (
+            jnp.arange(C) < n_known
+        ).astype(jnp.float32)[None, None, :]
+        vm = valid[..., None].astype(jnp.float32) * known
+        if cl_method == "bic":
+            T = 2.0
+            logp = jax.nn.log_softmax(cls_logits[..., :n_known] / T, axis=-1)
+            soft = -jnp.sum(cl.prev_logits[..., :n_known] * logp, axis=-1)
+            alpha = n_known / C
+            vf = valid.astype(jnp.float32)
+            dist = cfg.cl_cfg.dist_factor * alpha * (
+                jnp.sum(soft * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+            )
+        else:  # icarl: BCE-with-logits vs previous raw logits as targets
+            x = cls_logits
+            t = cl.prev_logits
+            bce = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+            dist = cfg.cl_cfg.dist_factor * (
+                jnp.sum(bce * vm) / jnp.maximum(jnp.sum(vm), 1.0)
+            ) * n_known
+        final = final + dist
+        metrics["dist_loss"] = dist
+
+    # --- narration-SSL InfoNCE vs the memory bank
+    # (masked_contrastive_loss, meta_archs.py:1351-1372)
+    if "narration_feat" in outputs and cl.memory_bank is not None:
+        nf = outputs["narration_feat"]                     # (B, D)
+        vf = outputs["video_feat"]
+        nvalid = outputs["narration_valid"].astype(jnp.float32)
+        pos = jnp.sum(nf * vf, axis=-1, keepdims=True)     # (B, 1)
+        neg_t = nf @ cl.memory_bank.T                      # (B, M)
+        neg_v = vf @ cl.memory_bank.T
+        temp = tc.temperature
+        lt = jnp.concatenate([pos, neg_t], axis=1) / temp
+        lv = jnp.concatenate([pos, neg_v], axis=1) / temp
+        ce = lambda l: -jax.nn.log_softmax(l, axis=-1)[:, 0]
+        per_row = 0.5 * (ce(lt) + ce(lv))
+        denom = jnp.maximum(jnp.sum(nvalid), 1.0)
+        ssl = jnp.sum(per_row * nvalid) / denom
+        ssl = ssl * cfg.cl_cfg.ssl_factor
+        final = final + ssl
+        metrics["ssl_loss"] = ssl
+
+    # --- EWC / MAS quadratic penalty (cl_methods/EWC.py:6-22, MAS.py:6-21)
+    # applied over stacked per-task (fisher, optpar) pytrees
+    # handled in the step (needs params); see make_train_step.
+
+    metrics["final_loss"] = final
+    return final, metrics, new_norm
+
+
+def _ring_update(bank, ptr, feats, valid):
+    """Ring-buffer write of valid rows (MemoryBank.update,
+    meta_archs.py:44-57), jit-safe via drop-mode scatter."""
+    M = bank.shape[0]
+    order = jnp.cumsum(valid.astype(jnp.int32)) - 1        # (B,)
+    idx = jnp.where(valid, (ptr + order) % M, M)           # M = out of bounds
+    bank = bank.at[idx].set(feats, mode="drop")
+    new_ptr = (ptr + jnp.sum(valid.astype(jnp.int32))) % M
+    return bank, new_ptr
+
+
+def reg_penalty(params, fisher, optpar, lam):
+    """sum_i fisher_i * (optpar_i - theta)^2 * lambda, over stacked tasks."""
+    per_leaf = jax.tree.map(
+        lambda f, o, p: jnp.sum(f * jnp.square(o - p[None])),
+        fisher, optpar, params,
+    )
+    total = jax.tree.reduce(lambda a, b: a + b, per_leaf, jnp.zeros(()))
+    return lam * total
+
+
+def make_train_step(
+    model,
+    tx,
+    points,
+    cfg: Config,
+    *,
+    cl_method: str = "naive",
+    use_ssl: bool = False,
+    use_distill: bool = False,
+    use_reg_penalty: bool = False,
+    use_prompt: bool = False,
+    n_known: int = 0,
+    ema_decay: float = 0.999,
+) -> Callable:
+    """Build the jitted train step for the current CL configuration."""
+
+    def step(state: TrainState, batch: dict, cl: CLBatchExtras):
+        rng, drng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            outputs = model.apply(
+                {"params": params},
+                batch["feats"], batch["mask"],
+                text=batch.get("text"), text_mask=batch.get("text_mask"),
+                narration=batch.get("narration") if use_ssl else None,
+                narration_mask=batch.get("narration_mask") if use_ssl else None,
+                narration_valid=batch.get("narration_valid") if use_ssl else None,
+                prompt_mask=batch.get("prompt_mask") if use_prompt else None,
+                deterministic=False,
+                rngs={"dropout": drng},
+            )
+            loss, metrics, new_norm = compute_losses(
+                outputs, batch, points, cfg, cl, state.loss_normalizer,
+                cl_method, n_known,
+            )
+            if use_reg_penalty and cl.fisher is not None:
+                pen = reg_penalty(
+                    params, cl.fisher, cl.optpar, cfg.cl_cfg.reg_lambda
+                )
+                loss = loss + pen
+                metrics["reg_penalty"] = pen
+            aux = {
+                "metrics": metrics,
+                "new_norm": new_norm,
+                "narration_feat": outputs.get("narration_feat"),
+                "narration_valid": outputs.get("narration_valid"),
+            }
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if cfg.train_cfg.clip_grad_l2norm > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(
+                1.0, cfg.train_cfg.clip_grad_l2norm / (gnorm + 1e-9)
+            )
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            aux["metrics"]["grad_norm"] = gnorm
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+
+        # adapter EMA (post_train_step, meta_archs.py:702-707)
+        new_adapter_ema = state.adapter_ema
+        if state.adapter_ema is not None:
+            new_adapter_ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.adapter_ema,
+                _extract_adapters(new_params),
+            )
+
+        new_ema = state.ema_params
+        if state.ema_params is not None:
+            d = cfg.opt.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, state.ema_params,
+                new_params,
+            )
+
+        # SSL memory bank ring update
+        new_bank, new_ptr = cl.memory_bank, cl.memory_ptr
+        if use_ssl and cl.memory_bank is not None:
+            new_bank, new_ptr = _ring_update(
+                cl.memory_bank, cl.memory_ptr,
+                aux["narration_feat"],
+                aux["narration_valid"],
+            )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            loss_normalizer=aux["new_norm"],
+            rng=rng,
+            adapter_ema=new_adapter_ema,
+            ema_params=new_ema,
+        )
+        return new_state, aux["metrics"], (new_bank, new_ptr)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _extract_adapters(params):
+    """Subtree pytree of adapter params only (paths containing 'adapter')."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in flat:
+        if _is_adapter_path(path):
+            out["/".join(str(getattr(p, "key", p)) for p in path)] = leaf
+    return out
+
+
+def init_adapter_ema(params):
+    """Fresh copies of the adapter leaves (avoids donation aliasing with
+    params when both live in the donated TrainState)."""
+    return jax.tree.map(lambda x: jnp.array(x, copy=True),
+                        _extract_adapters(params))
+
+
+def inject_adapters(params, adapter_dict):
+    """Inverse of _extract_adapters: write EMA adapter leaves back."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves = []
+    for path, leaf in flat:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        leaves.append(adapter_dict.get(key, leaf))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def make_eval_step(model, cfg: Config, *, use_prompt: bool = False,
+                   ensemble_adapters: bool = False):
+    """Forward pass for evaluation; with `ensemble_adapters`, averages the
+    live-adapter and EMA-adapter predictions (meta_archs.py:854-881)."""
+
+    def step(params, batch, adapter_ema=None):
+        def fwd(p):
+            return model.apply(
+                {"params": p},
+                batch["feats"], batch["mask"],
+                text=batch.get("text"), text_mask=batch.get("text_mask"),
+                prompt_mask=None,
+                deterministic=True,
+            )
+
+        out = fwd(params)
+        if ensemble_adapters and adapter_ema is not None:
+            out2 = fwd(inject_adapters(params, adapter_ema))
+            out["cls_logits"] = 0.5 * (out["cls_logits"] + out2["cls_logits"])
+            out["offsets"] = 0.5 * (out["offsets"] + out2["offsets"])
+        return {
+            "cls_logits": out["cls_logits"],
+            "offsets": out["offsets"],
+            "fpn_mask": out["fpn_mask"],
+        }
+
+    return jax.jit(step)
