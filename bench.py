@@ -1,0 +1,125 @@
+"""Benchmark: MQ flagship training throughput (clips/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/s/chip", "vs_baseline": N}
+
+Measures the jitted train step of the flagship MQ point-transformer
+(embd 1024, T=1024, arch (2,2,9), 110 classes, batch 2 — mirroring
+configs/mq_vilco.yaml) on synthetic feature batches.
+
+Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
+constant below is an estimate of the reference PyTorch pipeline's training
+throughput on its target single GPU (torch 1.12, batch 2, measured-class
+hardware: ~8 it/s => ~16 clips/s for this model size; see
+MQ/libs/utils/train_utils.py:278 train_one_epoch). It is marked estimated
+until the reference can be profiled on real GPU hardware — treat
+`vs_baseline` accordingly.
+
+Usage: python bench.py [--fast] [--steps N] [--batch B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+REFERENCE_GPU_CLIPS_PER_S_ESTIMATE = 16.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--fast", action="store_true",
+                   help="tiny shapes (CPU smoke)")
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--batch", type=int, default=None)
+    args = p.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from vilco_tpu.data.synthetic import make_batch
+    from vilco_tpu.models.point_transformer import (
+        PointTransformer,
+        level_lengths,
+    )
+    from vilco_tpu.ops.assign import generate_points
+    from vilco_tpu.train.engine import (
+        CLBatchExtras,
+        TrainState,
+        make_train_step,
+    )
+    from vilco_tpu.train.optim import make_optimizer
+
+    cfg = _flagship_cfg(tiny=args.fast)
+    if args.batch:
+        cfg = cfg.updated(loader=cfg.loader.updated(batch_size=args.batch))
+    B = cfg.loader.batch_size
+
+    model = PointTransformer(cfg.model, cfg.cl_cfg)
+    rng = np.random.default_rng(0)
+    batch_np = make_batch(rng, B, cfg)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    params = model.init(
+        jax.random.PRNGKey(0), batch["feats"], batch["mask"],
+        deterministic=True,
+    )["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+
+    tx, _ = make_optimizer(cfg.opt, params, steps_per_epoch=100)
+    points = jnp.asarray(generate_points(
+        level_lengths(cfg.model), cfg.model.fpn_strides,
+        cfg.model.regression_range,
+    ))
+    step = make_train_step(model, tx, points, cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params),
+        loss_normalizer=jnp.asarray(100.0, jnp.float32),
+        rng=jax.random.PRNGKey(1),
+    )
+    cl = CLBatchExtras(class_mask=jnp.ones((cfg.model.num_classes,), bool))
+
+    # pre-build a few distinct batches so the loop isn't one cached input
+    batches = []
+    for _ in range(4):
+        b = make_batch(rng, B, cfg)
+        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+
+    for i in range(args.warmup):
+        state, metrics, _ = step(state, batches[i % len(batches)], cl)
+    jax.block_until_ready(metrics["final_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics, _ = step(state, batches[i % len(batches)], cl)
+    jax.block_until_ready(metrics["final_loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_s = args.steps * B / dt
+    n_chips = jax.device_count()
+    value = clips_per_s / n_chips
+    print(json.dumps({
+        "metric": "mq_flagship_train_throughput",
+        "value": round(value, 3),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(value / REFERENCE_GPU_CLIPS_PER_S_ESTIMATE, 3),
+        "detail": {
+            "batch": B,
+            "steps": args.steps,
+            "step_ms": round(dt / args.steps * 1e3, 2),
+            "params_m": round(n_params / 1e6, 1),
+            "devices": n_chips,
+            "platform": jax.devices()[0].platform,
+            "loss": float(metrics["final_loss"]),
+            "baseline_estimated": True,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

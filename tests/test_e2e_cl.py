@@ -1,0 +1,90 @@
+"""End-to-end CL smoke tests on synthetic features.
+
+The TPU analogue of the reference's only correctness story (end-to-end metric
+eval during training, SURVEY.md section 4): run the full episode engine —
+task stream, rehearsal memory, jitted train steps, on-device decode+NMS,
+numpy metrics, BwF — over a tiny synthetic 3-task split and check the
+numbers behave.
+"""
+
+import numpy as np
+import pytest
+
+from vilco_tpu.cl.episode import EpisodeRunner
+from vilco_tpu.cl.stream import RehearsalMemory, TaskStream
+from vilco_tpu.data.pipeline import SyntheticFeatureSource
+from vilco_tpu.data.synthetic import make_synthetic_cl_split, tiny_config
+
+
+def small_setup(method="naive", **cl_over):
+    cfg = tiny_config(**{
+        "dataset": {"num_classes": 6},
+        "opt": {"epochs": 8, "warmup_epochs": 1, "learning_rate": 3e-3},
+        "cl_cfg": {"name": method, "num_tasks": 3, "classes_per_task": 2,
+                   **cl_over},
+        "test_cfg": {"pre_nms_topk": 128, "max_seg_num": 10},
+        "loader": {"batch_size": 4},
+    })
+    rng = np.random.default_rng(0)
+    train_tasks, val_tasks = make_synthetic_cl_split(
+        rng, cfg, videos_per_class_train=4, videos_per_class_val=2
+    )
+    stream = TaskStream(train_tasks, val_tasks)
+    src = SyntheticFeatureSource(cfg.dataset.input_dim)
+    return cfg, stream, src
+
+
+def test_task_stream_and_memory():
+    cfg, stream, _ = small_setup()
+    assert stream.num_tasks == 3
+    assert stream.task_classes(0) == [0, 1]
+    assert stream.classes_upto(2) == [0, 1, 2, 3, 4, 5]
+    v0 = stream.train_videos(0)
+    assert all(not v["is_memory"] for v in v0)
+    mem = RehearsalMemory()
+    mem.add_task(stream.train_class_videos(0), m=2)
+    assert mem.n_known == 2
+    assert all(len(v) <= 2 for v in mem.data.values())
+    v1 = stream.train_videos(1, mem)
+    assert any(v["is_memory"] for v in v1)
+    ids = [v["id"] for v in v1]
+    assert len(ids) == len(set(ids)), "train videos must be deduped"
+    # cumulative val grows
+    assert len(stream.val_videos_upto(1)) > len(stream.val_videos_upto(0))
+
+
+@pytest.mark.slow
+def test_episode_naive_runs_and_learns(tmp_path):
+    cfg, stream, src = small_setup("naive")
+    runner = EpisodeRunner(cfg, stream, src, workdir=str(tmp_path))
+    results = runner.run()
+    assert len(results["tasks"]) == 3
+    final = results["final"]
+    assert 0.0 <= final["avg_mAP"] <= 1.0
+    assert np.isfinite(final["BwF_R1@0.5"])
+    # current task must be learnable: last task's own mAP clearly > 0
+    last_own = results["tasks"][-1]["eval"]["per_task"][-1]
+    assert last_own["avg_mAP"] > 0.1, last_own
+    # checkpoints written
+    assert (tmp_path / "task_002.ckpt").exists()
+
+
+@pytest.mark.slow
+def test_episode_rehearsal_beats_structure(tmp_path):
+    """Rehearsal (icarl-style) episode runs with memory + distillation."""
+    cfg, stream, src = small_setup("icarl", memory_size=12)
+    runner = EpisodeRunner(cfg, stream, src, workdir=str(tmp_path))
+    results = runner.run()
+    assert runner.memory.n_known == 6
+    # memory file saved
+    assert (tmp_path / cfg.cl_cfg.path_memory).exists()
+    assert len(results["tasks"]) == 3
+
+
+@pytest.mark.slow
+def test_episode_ewc(tmp_path):
+    cfg, stream, src = small_setup("ewc", reg_lambda=10.0)
+    runner = EpisodeRunner(cfg, stream, src, workdir=str(tmp_path))
+    results = runner.run()
+    assert len(runner.reg_list) == 2   # estimated after tasks 0 and 1
+    assert np.isfinite(results["final"]["avg_mAP"])

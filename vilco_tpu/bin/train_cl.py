@@ -1,0 +1,88 @@
+"""Unified CL training CLI — one entry point for all tasks/methods.
+
+Replaces the per-task reference entry points (MQ/train_cl.py, NLQ/train_cl.py,
+VQ/train_cl.py, MQ/train_bic.py):
+
+  python -m vilco_tpu.bin.train_cl --config cfg.yaml --workdir ./runs/x
+  python -m vilco_tpu.bin.train_cl --config cfg.yaml --synthetic  # smoke
+
+Features come from the config's feat_folder (reference .pt/.npy/.pkl
+formats) or the synthetic source for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=False, default=None)
+    p.add_argument("--workdir", default="./runs/default")
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic features + synthetic task split (smoke)")
+    p.add_argument("--method", default=None,
+                   help="override cl_cfg.name (naive|ewc|mas|icarl|bic|l2p|vilco)")
+    p.add_argument("--num-tasks", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(message)s",
+        handlers=[
+            logging.StreamHandler(sys.stdout),
+        ],
+    )
+
+    from vilco_tpu.core.config import load_config
+    from vilco_tpu.cl.episode import EpisodeRunner
+    from vilco_tpu.cl.stream import TaskStream
+    from vilco_tpu.data.pipeline import DirFeatureSource, SyntheticFeatureSource
+    from vilco_tpu.data.synthetic import make_synthetic_cl_split, tiny_config
+
+    if args.config:
+        cfg = load_config(args.config)
+    else:
+        cfg = tiny_config()
+    if args.method:
+        cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(name=args.method))
+    if args.epochs:
+        cfg = cfg.updated(opt=cfg.opt.updated(epochs=args.epochs))
+    if args.num_tasks:
+        cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(num_tasks=args.num_tasks))
+
+    import numpy as np
+
+    if args.synthetic:
+        rng = np.random.default_rng(cfg.init_rand_seed)
+        train_tasks, val_tasks = make_synthetic_cl_split(rng, cfg)
+        stream = TaskStream(train_tasks, val_tasks)
+        src = SyntheticFeatureSource(cfg.dataset.input_dim)
+    else:
+        stream = TaskStream.from_pkl(cfg.cl_cfg.pkl_file)
+        src = DirFeatureSource(
+            cfg.dataset.feat_folder, cfg.dataset.file_ext,
+            cfg.dataset.file_prefix,
+        )
+
+    runner = EpisodeRunner(cfg, stream, src, workdir=args.workdir)
+    results = runner.run()
+    out = os.path.join(args.workdir, "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({
+        "final_avg_mAP": results["final"]["avg_mAP"],
+        "final_R1@0.5": results["final"]["avg_R1@0.5"],
+        "BwF_R1@0.5": results["final"]["BwF_R1@0.5"],
+        "results_file": out,
+    }))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,468 @@
+"""Query-incremental continual-learning episode engine.
+
+The unified runtime that replaces the reference's three copy-pasted CL entry
+points (MQ/train_cl.py:43-433, NLQ/train_cl.py:37-365, VQ/train_cl.py:51-280)
+with one loop over task plugins:
+
+  for task j:
+    merge rehearsal memory into the task's train set
+    (iCaRL/BiC) snapshot pre-task logits for distillation
+    train epochs with the jitted step (fresh optimizer/schedule per task)
+    evaluate every seen task cumulatively, track BwF
+    update rehearsal memory (random exemplars, per-class quota)
+    (EWC/MAS) estimate parameter importance on the finished task
+    checkpoint {params, opt, cl-state}
+
+Idiomatic shifts: class growth is a boolean class mask (no head surgery), so
+one compiled train step serves all tasks of a method; eval decode + NMS run
+jitted on device; metrics are the exact numpy ports in vilco_tpu/evals.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vilco_tpu.cl.regularizers import (
+    estimate_importance,
+    make_grad_step,
+    stack_reg_tasks,
+)
+from vilco_tpu.cl.stream import RehearsalMemory, TaskStream
+from vilco_tpu.core.checkpoint import save_checkpoint
+from vilco_tpu.core.config import Config
+from vilco_tpu.data.pipeline import BatchIterator, ClipDataset
+from vilco_tpu.evals.anet_map import ANETDetection, cumulative_cl_gt
+from vilco_tpu.evals.retrieval import (
+    BwfTracker,
+    moment_retrieval_recall,
+    retrieval_gt_from_task,
+)
+from vilco_tpu.models.point_transformer import PointTransformer, level_lengths
+from vilco_tpu.ops.assign import generate_points
+from vilco_tpu.ops.decode import decode_and_nms_batch
+from vilco_tpu.train.engine import (
+    CLBatchExtras,
+    TrainState,
+    init_adapter_ema,
+    make_eval_step,
+    make_train_step,
+)
+from vilco_tpu.train.optim import make_optimizer
+
+log = logging.getLogger("vilco.episode")
+
+
+class EpisodeRunner:
+    def __init__(
+        self,
+        cfg: Config,
+        stream: TaskStream,
+        feature_source: Callable,
+        workdir: str = "/tmp/vilco_run",
+        text_source: Optional[Callable] = None,
+        narration_source: Optional[Callable] = None,
+    ):
+        self.cfg = cfg
+        self.stream = stream
+        self.src = feature_source
+        self.text_source = text_source
+        self.narration_source = narration_source
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+
+        self.model = PointTransformer(cfg.model, cfg.cl_cfg)
+        self.points = jnp.asarray(
+            generate_points(
+                level_lengths(cfg.model), cfg.model.fpn_strides,
+                cfg.model.regression_range,
+            )
+        )
+        self.num_classes = cfg.model.num_classes
+        self.method = (cfg.cl_cfg.name or "naive").lower()
+        self.memory = RehearsalMemory(seed=cfg.init_rand_seed)
+        self.reg_list: List = []
+        self.bwf_recall = BwfTracker()
+        self.bwf_map = BwfTracker()
+        self.cl_gt = cumulative_cl_gt(stream.val_tasks)
+        self.memory_bank = None
+        self.memory_ptr = jnp.zeros((), jnp.int32)
+        if cfg.cl_cfg.narration_ssl and cfg.cl_cfg.memory_size > 0:
+            self.memory_bank = jnp.asarray(
+                np.random.default_rng(0).standard_normal(
+                    (cfg.cl_cfg.memory_size, cfg.model.embd_dim)
+                ).astype(np.float32)
+            )
+        self.params = self._init_params()
+        self.eval_step = make_eval_step(
+            self.model, cfg,
+            ensemble_adapters=cfg.cl_cfg.use_adapt,
+        )
+        self._decode = None
+
+    # ------------------------------------------------------------------
+    def _init_params(self):
+        cfg = self.cfg
+        ds = cfg.dataset
+        B, T = cfg.loader.batch_size, ds.max_seq_len
+        feats = jnp.zeros((B, T, ds.input_dim), jnp.float32)
+        mask = jnp.ones((B, T), bool)
+        kw = {}
+        if ds.use_text:
+            kw["text"] = jnp.zeros((B, ds.max_text_len, cfg.model.n_txt_in))
+            kw["text_mask"] = jnp.ones((B, ds.max_text_len), bool)
+        if cfg.cl_cfg.narration_ssl:
+            kw["narration"] = jnp.zeros(
+                (B, ds.max_narration_len, cfg.cl_cfg.narration_dim)
+            )
+            kw["narration_mask"] = jnp.ones((B, ds.max_narration_len), bool)
+        variables = self.model.init(
+            jax.random.PRNGKey(cfg.init_rand_seed), feats, mask,
+            deterministic=True, **kw,
+        )
+        return variables["params"]
+
+    def _make_dataset(self, videos, is_training):
+        return ClipDataset(
+            videos, self.cfg, self.src,
+            is_training=is_training,
+            text_source=self.text_source,
+            narration_source=self.narration_source,
+        )
+
+    def _class_mask(self, j: int) -> jnp.ndarray:
+        mask = np.zeros((self.num_classes,), bool)
+        for c in self.stream.classes_upto(j):
+            mask[c] = True
+        return jnp.asarray(mask)
+
+    def _to_device(self, batch):
+        return {k: jnp.asarray(v) for k, v in batch.items()
+                if k != "video_idx"}
+
+    # ------------------------------------------------------------------
+    def snapshot_logits(self, params, videos) -> Dict[str, np.ndarray]:
+        """Pre-task logits per video for iCaRL/BiC distillation
+        (MQ/train_cl.py:226-235)."""
+        data = self._make_dataset(videos, is_training=False)
+        it = BatchIterator(data, self.cfg, self.cfg.loader.batch_size,
+                           is_training=False)
+        out = {}
+        for batch, meta in it:
+            res = self.eval_step(params, self._to_device(batch))
+            logits = np.asarray(res["cls_logits"])
+            for i, vid in enumerate(meta["video_id"]):
+                if not meta["pad"][i]:
+                    out[vid] = logits[i]
+        return out
+
+    # ------------------------------------------------------------------
+    def train_task(self, j: int, n_known: int):
+        cfg = self.cfg
+        use_memory = cfg.cl_cfg.memory_size > 0 and j > 0
+        videos = self.stream.train_videos(
+            j, self.memory if use_memory else None
+        )
+        data = self._make_dataset(videos, is_training=True)
+        loader = BatchIterator(
+            data, cfg, cfg.loader.batch_size, is_training=True,
+            seed=cfg.init_rand_seed,
+        )
+        steps_per_epoch = max(len(loader), 1)
+
+        tx, _ = make_optimizer(cfg.opt, self.params, steps_per_epoch)
+        use_distill = self.method in ("icarl", "bic") and n_known > 0
+        use_prompt = cfg.cl_cfg.prompt_pool
+        use_ssl = cfg.cl_cfg.narration_ssl and self.memory_bank is not None
+        use_reg = self.method in ("ewc", "mas") and len(self.reg_list) > 0
+
+        step = make_train_step(
+            self.model, tx, self.points, cfg,
+            cl_method=self.method,
+            use_ssl=use_ssl,
+            use_distill=use_distill,
+            use_reg_penalty=use_reg,
+            use_prompt=use_prompt,
+            n_known=n_known,
+        )
+        adapter_ema = (
+            init_adapter_ema(self.params) if cfg.cl_cfg.use_adapt else None
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=self.params,
+            opt_state=tx.init(self.params),
+            loss_normalizer=jnp.asarray(
+                cfg.train_cfg.init_loss_norm, jnp.float32
+            ),
+            rng=jax.random.PRNGKey(cfg.init_rand_seed + j),
+            adapter_ema=adapter_ema,
+        )
+
+        prev_logits_map = None
+        if use_distill:
+            prev_logits_map = self.snapshot_logits(self.params, videos)
+
+        fisher, optpar = (None, None)
+        if use_reg:
+            fisher, optpar = stack_reg_tasks(self.reg_list)
+            fisher = jax.tree.map(jnp.asarray, fisher)
+            optpar = jax.tree.map(jnp.asarray, optpar)
+
+        class_mask = self._class_mask(j)
+        prompt_arange = None
+        if use_prompt:
+            start = j * cfg.cl_cfg.topk
+            end = (j + 1) * cfg.cl_cfg.topk
+            if end <= cfg.cl_cfg.pool_size:
+                prompt_arange = np.arange(start, end)
+
+        t0 = time.time()
+        n_steps = 0
+        last_metrics = {}
+        for epoch in range(cfg.opt.epochs):
+            loader.set_epoch(epoch)
+            for batch, meta in loader:
+                extras = {}
+                if use_distill:
+                    prev = np.stack([
+                        prev_logits_map.get(
+                            vid,
+                            np.zeros(
+                                (self.points.shape[0], self.num_classes),
+                                np.float32,
+                            ),
+                        )
+                        for vid in meta["video_id"]
+                    ])
+                    extras["prev_logits"] = jnp.asarray(prev)
+                if use_prompt and prompt_arange is not None:
+                    batch = dict(batch)
+                    batch["prompt_mask"] = np.broadcast_to(
+                        prompt_arange[None, :],
+                        (len(meta["video_id"]), len(prompt_arange)),
+                    ).copy()
+                cl = CLBatchExtras(
+                    class_mask=class_mask,
+                    memory_bank=self.memory_bank if use_ssl else None,
+                    memory_ptr=self.memory_ptr if use_ssl else None,
+                    fisher=fisher,
+                    optpar=optpar,
+                    **extras,
+                )
+                state, metrics, (bank, ptr) = step(
+                    state, self._to_device(batch), cl
+                )
+                if use_ssl:
+                    self.memory_bank, self.memory_ptr = bank, ptr
+                n_steps += 1
+            last_metrics = {k: float(v) for k, v in metrics.items()}
+            log.info(
+                "task %d epoch %d: %s", j, epoch,
+                {k: round(v, 4) for k, v in last_metrics.items()},
+            )
+        wall = time.time() - t0
+        self.params = state.params
+        self._adapter_ema = state.adapter_ema
+        return {
+            "steps": n_steps,
+            "wall_s": wall,
+            "clips_per_s": n_steps * cfg.loader.batch_size / max(wall, 1e-9),
+            "last_metrics": last_metrics,
+            "loader": loader,
+        }
+
+    # ------------------------------------------------------------------
+    def _decode_batch(self, out, class_mask):
+        t = self.cfg.test_cfg
+        return decode_and_nms_batch(
+            self.points, out["cls_logits"], out["offsets"], out["fpn_mask"],
+            class_mask,
+            num_classes=self.num_classes,
+            pre_nms_topk=t.pre_nms_topk,
+            pre_nms_thresh=t.pre_nms_thresh,
+            duration_thresh=t.duration_thresh,
+            max_seg_num=t.max_seg_num,
+            iou_threshold=t.iou_threshold,
+            min_score=t.min_score,
+            nms_sigma=t.nms_sigma,
+            voting_thresh=t.voting_thresh,
+            use_soft_nms=t.nms_method == "soft",
+            multiclass=t.multiclass_nms,
+        )
+
+    def predict_videos(self, videos, class_mask) -> Dict[str, dict]:
+        """Run eval forward + decode over videos; segments in seconds."""
+        data = self._make_dataset(videos, is_training=False)
+        it = BatchIterator(data, self.cfg, self.cfg.loader.batch_size,
+                           is_training=False)
+        adapter_ema = getattr(self, "_adapter_ema", None)
+        preds = {}
+        for batch, meta in it:
+            out = self.eval_step(
+                self.params, self._to_device(batch), adapter_ema
+            )
+            det = self._decode_batch(out, class_mask)
+            segs = np.asarray(det.segs)
+            scores = np.asarray(det.scores)
+            labels = np.asarray(det.labels)
+            valid = np.asarray(det.valid)
+            for i, vid in enumerate(meta["video_id"]):
+                if meta["pad"][i]:
+                    continue
+                stride = meta["feat_stride"][i]
+                nframes = meta["feat_num_frames"][i]
+                fps = meta["fps"][i]
+                dur = meta["duration"][i]
+                sel = valid[i]
+                s = (segs[i][sel] * stride + 0.5 * nframes) / fps
+                s = np.clip(s, 0.0, dur)
+                preds[vid] = {
+                    "segments": s,
+                    "scores": scores[i][sel],
+                    "labels": labels[i][sel],
+                }
+        return preds
+
+    def evaluate(self, j: int) -> Dict:
+        """Cumulative per-task eval + BwF (final_validate,
+        MQ/libs/utils/train_utils.py:1176-1349)."""
+        class_mask = self._class_mask(j)
+        gt_j = self.cl_gt[j]
+        act_idx = gt_j["activity_index"]
+        per_task_map, per_task_r1 = {}, {}
+        per_task = []
+        weights = {}
+        for i in range(j + 1):
+            videos = self.stream.val_videos_upto(i)
+            preds = self.predict_videos(videos, class_mask)
+            rec = {"video-id": [], "t-start": [], "t-end": [], "label": [],
+                   "score": []}
+            for vid, p in preds.items():
+                for s, sc, lb in zip(p["segments"], p["scores"], p["labels"]):
+                    if int(lb) not in act_idx:
+                        continue
+                    rec["video-id"].append(vid)
+                    rec["t-start"].append(float(s[0]))
+                    rec["t-end"].append(float(s[1]))
+                    rec["label"].append(act_idx[int(lb)])
+                    rec["score"].append(float(sc))
+            evaluator = ANETDetection(
+                {k: gt_j[k] for k in
+                 ("video-id", "t-start", "t-end", "label")}
+            )
+            mAP, avg_map = evaluator.evaluate(rec)
+
+            # retrieval vs task i's own GT (get_retrieval_performance.py)
+            task_key = self.stream.task_ids[i]
+            gt_ret = retrieval_gt_from_task(self.stream.val_tasks[task_key])
+            inv = {v: k for k, v in
+                   self.stream.val_tasks[task_key]["label_dict"].items()}
+            pred_ret = {}
+            for vid, p in preds.items():
+                by_class = {}
+                for s, sc, lb in zip(p["segments"], p["scores"],
+                                     p["labels"]):
+                    name = inv.get(int(lb))
+                    if name is None:
+                        continue
+                    by_class.setdefault(name, []).append(
+                        [float(s[0]), float(s[1]), float(sc)]
+                    )
+                pred_ret[vid] = by_class
+            rec_matrix = moment_retrieval_recall(gt_ret, pred_ret)
+            n_queries = len(self.stream.val_tasks[task_key]["label_dict"])
+            weights[i] = n_queries
+            per_task_map[i] = avg_map
+            per_task_r1[i] = float(rec_matrix[4, 0])  # R@1 tIoU 0.5
+            per_task.append({
+                "task": i,
+                "avg_mAP": avg_map,
+                "mAP": mAP.tolist(),
+                "recall": rec_matrix.tolist(),
+                "R1@0.3": float(rec_matrix[2, 0]),
+                "R5@0.3": float(rec_matrix[2, 1]),
+                "R1@0.5": float(rec_matrix[4, 0]),
+                "R5@0.5": float(rec_matrix[4, 1]),
+            })
+        bwf_r = self.bwf_recall.update(j, per_task_r1, weights)
+        bwf_m = self.bwf_map.update(j, per_task_map, weights)
+        avg = lambda key: float(np.average(
+            [t[key] for t in per_task],
+            weights=[weights[t["task"]] for t in per_task],
+        ))
+        return {
+            "per_task": per_task,
+            "avg_mAP": avg("avg_mAP"),
+            "avg_R1@0.3": avg("R1@0.3"),
+            "avg_R5@0.3": avg("R5@0.3"),
+            "avg_R1@0.5": avg("R1@0.5"),
+            "avg_R5@0.5": avg("R5@0.5"),
+            "BwF_R1@0.5": bwf_r,
+            "BwF_mAP": bwf_m,
+        }
+
+    # ------------------------------------------------------------------
+    def run(self) -> Dict:
+        cfg = self.cfg
+        results = {"tasks": [], "method": self.method}
+        n_known = 0
+        for j in range(self.stream.num_tasks):
+            log.info("=== task %d/%d (method=%s, n_known=%d) ===",
+                     j + 1, self.stream.num_tasks, self.method, n_known)
+            train_stats = self.train_task(j, n_known)
+            eval_stats = self.evaluate(j)
+            log.info("task %d eval: avg_mAP=%.4f R1@0.5=%.4f BwF=%.4f",
+                     j, eval_stats["avg_mAP"], eval_stats["avg_R1@0.5"],
+                     eval_stats["BwF_R1@0.5"])
+
+            n_seen = len(self.stream.classes_upto(j))
+            if cfg.cl_cfg.memory_size > 0:
+                m = self.stream.memory_quota(cfg.cl_cfg.memory_size, n_seen)
+                self.memory.add_task(self.stream.train_class_videos(j), m)
+                n_known = self.memory.n_known
+                self.memory.save(
+                    os.path.join(self.workdir, cfg.cl_cfg.path_memory)
+                )
+
+            if self.method in ("ewc", "mas") and j < self.stream.num_tasks - 1:
+                grad_step = make_grad_step(
+                    self.model, self.points, cfg, self.method
+                )
+                loader = train_stats.pop("loader")
+                loader.set_epoch(0)
+                cl = CLBatchExtras(class_mask=self._class_mask(j))
+                batches = (self._to_device(b) for b, _ in loader)
+                imp = estimate_importance(
+                    grad_step, self.params, batches, cl,
+                    jnp.asarray(cfg.train_cfg.init_loss_norm),
+                    mode=self.method,
+                )
+                self.reg_list.append(imp)
+            else:
+                train_stats.pop("loader", None)
+
+            save_checkpoint(
+                os.path.join(self.workdir, f"task_{j:03d}.ckpt"),
+                {
+                    "params": self.params,
+                    "task": j,
+                    "n_known": n_known,
+                    "memory_bank": self.memory_bank,
+                },
+            )
+            results["tasks"].append({
+                "task": j,
+                "train": {k: v for k, v in train_stats.items()
+                          if k != "loader"},
+                "eval": eval_stats,
+            })
+        results["final"] = results["tasks"][-1]["eval"]
+        return results

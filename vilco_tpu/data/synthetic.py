@@ -87,6 +87,7 @@ def tiny_config(**overrides) -> Config:
         "dataset": {
             "num_classes": 10, "max_seq_len": 64, "input_dim": 16,
             "max_segments": 8, "max_text_len": 16, "max_narration_len": 8,
+            "feat_stride": 16.0, "num_frames": 16.0,
         },
         "model": {
             "backbone_arch": (2, 1, 3), "embd_dim": 32, "fpn_dim": 32,
@@ -133,7 +134,8 @@ def make_synthetic_cl_split(
     per = cfg.cl_cfg.classes_per_task
     assert per * K <= C
 
-    fps, stride, nframes = 30.0, 16.0, 16.0
+    fps = 30.0
+    stride, nframes = cfg.dataset.feat_stride, cfg.dataset.num_frames
 
     def make_split(videos_per_class, split_name):
         tasks = {}

@@ -1,0 +1,86 @@
+"""Device mesh + sharding rules (DP / TP over `jax.sharding.Mesh`).
+
+TPU-native replacement for the reference's torch.distributed substrate
+(SURVEY.md section 2.3): instead of NCCL process groups + DistributedSampler
+(+ the MQ/NLQ DDP wrapper that is actually commented out, so reference
+multi-GPU never syncs gradients — MQ/libs/utils/train_utils.py:298), the
+train step is jitted over a named mesh:
+
+  axes: ("data", "model")
+  - batch dims are sharded over "data" (pure DP; gradient psum over ICI is
+    inserted by XLA)
+  - attention / MLP kernels are sharded over "model" (tensor parallel):
+    qkv/fc1 kernels column-wise (out dim), proj/fc2 row-wise (in dim), so
+    each block needs a single all-reduce at its output
+
+Models here are <=~200M params, so TP is about HBM headroom and batch-1
+latency, not necessity — mesh shape (N, 1) gives pure DP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def _param_spec(path, leaf) -> P:
+    names = [str(getattr(p, "key", "")) for p in path]
+    leafname = names[-1] if names else ""
+    parent = names[-2] if len(names) >= 2 else ""
+    if leafname == "kernel" and leaf.ndim == 2:
+        # column-parallel: qkv projections + first MLP layer
+        if parent in ("query", "key", "value", "qkv", "mlp_fc1", "ff1"):
+            return P(None, "model")
+        # row-parallel: output projections + second MLP layer
+        if parent in ("proj", "mlp_fc2", "ff2"):
+            return P("model", None)
+    if leafname == "kernel" and leaf.ndim == 3 and leaf.shape[1] > 1:
+        # non-depthwise conv (K, Cin/g, Cout): shard output channels
+        return P(None, None, "model")
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for the parameter tree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)),
+        params,
+    )
+
+
+def batch_shardings(batch, mesh: Mesh):
+    """Shard every array's leading (batch) axis over 'data'."""
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))),
+        batch,
+    )
+
+
+def replicated(tree, mesh: Mesh):
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.device_put(batch, batch_shardings(batch, mesh))
