@@ -27,6 +27,7 @@ def main(argv=None):
                    help="synthetic features + synthetic task split (smoke)")
     p.add_argument("--method", default=None,
                    help="override cl_cfg.name (naive|ewc|mas|icarl|bic|l2p|vilco)")
+    p.add_argument("--task", default=None, help="mq | nlq (default from config)")
     p.add_argument("--num-tasks", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
     args = p.parse_args(argv)
@@ -45,8 +46,12 @@ def main(argv=None):
     from vilco_tpu.data.pipeline import DirFeatureSource, SyntheticFeatureSource
     from vilco_tpu.data.synthetic import make_synthetic_cl_split, tiny_config
 
+    from vilco_tpu.tasks.nlq import nlq_tiny_config
+
     if args.config:
         cfg = load_config(args.config)
+    elif args.task == "nlq":
+        cfg = nlq_tiny_config()
     else:
         cfg = tiny_config()
     if args.method:
@@ -58,19 +63,34 @@ def main(argv=None):
 
     import numpy as np
 
-    if args.synthetic:
-        rng = np.random.default_rng(cfg.init_rand_seed)
-        train_tasks, val_tasks = make_synthetic_cl_split(rng, cfg)
-        stream = TaskStream(train_tasks, val_tasks)
-        src = SyntheticFeatureSource(cfg.dataset.input_dim)
-    else:
-        stream = TaskStream.from_pkl(cfg.cl_cfg.pkl_file)
-        src = DirFeatureSource(
-            cfg.dataset.feat_folder, cfg.dataset.file_ext,
-            cfg.dataset.file_prefix,
+    task = args.task or cfg.task
+    text_source = None
+    if args.synthetic and task == "nlq":
+        from vilco_tpu.tasks.nlq import (
+            NLQEpisodeRunner, NLQTaskStream, SyntheticNLQFeatures,
+            make_synthetic_nlq_split,
         )
 
-    runner = EpisodeRunner(cfg, stream, src, workdir=args.workdir)
+        rng = np.random.default_rng(cfg.init_rand_seed)
+        train_tasks, val_tasks = make_synthetic_nlq_split(rng, cfg)
+        stream = NLQTaskStream(train_tasks, val_tasks)
+        feat = SyntheticNLQFeatures(cfg.dataset.input_dim, cfg.model.n_txt_in)
+        runner = NLQEpisodeRunner(cfg, stream, feat.video,
+                                  workdir=args.workdir,
+                                  text_source=feat.text)
+    else:
+        if args.synthetic:
+            rng = np.random.default_rng(cfg.init_rand_seed)
+            train_tasks, val_tasks = make_synthetic_cl_split(rng, cfg)
+            stream = TaskStream(train_tasks, val_tasks)
+            src = SyntheticFeatureSource(cfg.dataset.input_dim)
+        else:
+            stream = TaskStream.from_pkl(cfg.cl_cfg.pkl_file)
+            src = DirFeatureSource(
+                cfg.dataset.feat_folder, cfg.dataset.file_ext,
+                cfg.dataset.file_prefix,
+            )
+        runner = EpisodeRunner(cfg, stream, src, workdir=args.workdir)
     results = runner.run()
     out = os.path.join(args.workdir, "results.json")
     with open(out, "w") as f:

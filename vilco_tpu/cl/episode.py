@@ -91,7 +91,7 @@ class EpisodeRunner:
         self.reg_list: List = []
         self.bwf_recall = BwfTracker()
         self.bwf_map = BwfTracker()
-        self.cl_gt = cumulative_cl_gt(stream.val_tasks)
+        self._setup_eval()
         self.memory_bank = None
         self.memory_ptr = jnp.zeros((), jnp.int32)
         if cfg.cl_cfg.narration_ssl and cfg.cl_cfg.memory_size > 0:
@@ -108,6 +108,10 @@ class EpisodeRunner:
         self._decode = None
 
     # ------------------------------------------------------------------
+    def _setup_eval(self):
+        """Build per-task cumulative GT (MQ flavor); task plugins override."""
+        self.cl_gt = cumulative_cl_gt(self.stream.val_tasks)
+
     def _init_params(self):
         cfg = self.cfg
         ds = cfg.dataset

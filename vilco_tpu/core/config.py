@@ -85,6 +85,9 @@ class DatasetConfig(_Base):
     val_text_feat_dir: str = ""
     input_txt_dim: int = 512
     enable_temporal_jittering: bool = False
+    # MQ converts seconds->grid with a -0.5*num_frames centering offset
+    # (ego4d.py:729-733); NLQ omits it (ego4d_loader.py:180-186)
+    center_offset: bool = True
 
 
 @dataclass(frozen=True)
@@ -93,6 +96,9 @@ class TrainCfg(_Base):
 
     center_sample: str = "radius"
     center_sample_radius: float = 1.5
+    # MQ weights cls/reg losses by learned per-class Gaussians
+    # (meta_archs.py:1415-1471); NLQ does not (NLQ meta_archs.py:1094-1152)
+    use_gaussian_weights: bool = True
     loss_weight: float = 1.0
     cls_prior_prob: float = 0.01
     init_loss_norm: float = 100.0
@@ -157,6 +163,7 @@ class ModelConfig(_Base):
     """
 
     name: str = "point_transformer"
+    variant: str = "mq"            # mq (single tower + optional text) | nlq (dual tower)
     backbone_type: str = "convTransformer"
     fpn_type: str = "identity"
     backbone_arch: Tuple[int, ...] = (2, 2, 9)
@@ -202,14 +209,23 @@ class ModelConfig(_Base):
     cross_modal_skip_levels: Tuple[int, ...] = (1, 2)
 
     @property
+    def num_branch_layers(self) -> int:
+        """#strided pyramid layers. MQ arch is (convs, stem, branch); NLQ is
+        (convs, txt_stem, vid_stem, cross_branch, plain_branch)
+        (NLQ/libs/modeling/backbones.py:424-428)."""
+        if len(self.backbone_arch) == 5:
+            return self.backbone_arch[3] + self.backbone_arch[4]
+        return self.backbone_arch[-1]
+
+    @property
     def num_fpn_levels(self) -> int:
-        return self.backbone_arch[-1] + 1 - self.fpn_start_level
+        return self.num_branch_layers + 1 - self.fpn_start_level
 
     @property
     def fpn_strides(self) -> Tuple[int, ...]:
         return tuple(
             self.scale_factor ** i
-            for i in range(self.fpn_start_level, self.backbone_arch[-1] + 1)
+            for i in range(self.fpn_start_level, self.num_branch_layers + 1)
         )
 
     @property
@@ -219,7 +235,7 @@ class ModelConfig(_Base):
         Reference: MQ/libs/modeling/meta_archs.py:405-416.
         """
         win = self.n_mha_win_size
-        wins = [win] * (1 + self.backbone_arch[-1])
+        wins = [win] * (1 + self.num_branch_layers)
         mdf = 1
         for s, w in zip(self.fpn_strides, wins):
             stride = s * (w // 2) * 2 if w > 1 else s

@@ -159,13 +159,15 @@ class ClipDataset:
             t_len = min(feats.shape[0], T)
             feats = feats[:t_len]
 
-        # seconds -> grid coords (ego4d.py:729-733)
+        # seconds -> grid coords (ego4d.py:729-733; NLQ omits the centering
+        # offset, ego4d_loader.py:180-186)
         segs_raw = np.asarray(v.get("segments"), np.float32)
         if segs_raw is None or segs_raw.size == 0:
             segs = np.zeros((0, 2), np.float32)
             labels = np.zeros((0,), np.int64)
         else:
-            segs = (segs_raw * fps - 0.5 * num_frames) / feat_stride
+            offset = 0.5 * num_frames if ds.center_offset else 0.0
+            segs = (segs_raw * fps - offset) / feat_stride
             labels = np.asarray(v["labels"], np.int64)
             # drop actions (mostly) outside the feature grid (ego4d.py:737-757)
             vid_len = t_len + 0.5 * num_frames / feat_stride
@@ -190,6 +192,7 @@ class ClipDataset:
             "feat_stride": float(feat_stride),
             "feat_num_frames": float(num_frames),
             "is_memory": bool(v.get("is_memory", False)),
+            "query_key": v.get("query_key", v["id"]),
         }
         if self.text_source is not None:
             sample["text"] = self.text_source(v)
@@ -250,7 +253,7 @@ def collate(samples: List[dict], cfg: Config) -> Dict[str, np.ndarray]:
         "video_idx": np.full((B,), -1, np.int64),
     }
     meta = {"video_id": [], "fps": [], "duration": [], "feat_stride": [],
-            "feat_num_frames": []}
+            "feat_num_frames": [], "query_key": []}
     for i, s in enumerate(samples):
         t = min(s["t_len"], T)
         batch["feats"][i, :t] = s["feats"][:t]

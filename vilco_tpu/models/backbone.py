@@ -140,3 +140,89 @@ class ConvTransformerBackbone(nn.Module):
             out_masks.append(mask)
 
         return out_feats, out_masks
+
+
+class DualTowerBackbone(nn.Module):
+    """NLQ dual-tower backbone (NLQ/libs/modeling/backbones.py:409-614):
+
+      arch = (#convs, #txt_stem, #vid_stem, #cross_branch, #plain_branch)
+      vid conv embed (+PE) ; txt 1x1 conv embed -> txt self-attn stem ->
+      vid stem with per-block text cross-attention -> strided branch
+      (first arch[3] blocks cross-modal, remaining arch[4] plain).
+
+    All attention is sliding-window (n_mha_win_size, e.g. 9 -> +-4 band);
+    NLQ blocks have no channel attention. Text is a REQUIRED input.
+    """
+
+    cfg: ModelConfig
+    adapt_blocks: Tuple[int, ...] = ()
+
+    @nn.compact
+    def __call__(self, x, mask, text, text_mask, deterministic: bool = True):
+        cfg = self.cfg
+        E = cfg.embd_dim
+        n_convs, n_txt_stem, n_vid_stem, n_cross, n_plain = cfg.backbone_arch
+        T = x.shape[1]
+        win = cfg.n_mha_win_size // 2 if cfg.n_mha_win_size > 1 else -1
+
+        block = lambda name, stride=1, cross=False, t_in=0: TransformerBlock(
+            E, cfg.n_head, n_ds_stride=stride,
+            proj_drop=cfg.dropout, path_drop=cfg.droppath,
+            use_cross_modal=cross, use_channel_attn=False,
+            window=win, adapter_t_in=t_in, name=name,
+        )
+
+        for i in range(n_convs):
+            x, mask = MaskedConv(
+                E, cfg.embd_kernel_size, use_bias=not cfg.embd_with_ln,
+                name=f"vid_embd_{i}",
+            )(x, mask)
+            if cfg.embd_with_ln:
+                x = LayerNormC(name=f"vid_embd_norm_{i}")(x)
+            x = nn.relu(x)
+
+        if cfg.use_abs_pe:
+            pe = sinusoid_encoding(cfg.max_seq_len, E) / (E ** 0.5)
+            pe = jnp.asarray(pe, dtype=x.dtype)[None, :T]
+            x = x + pe * mask[..., None].astype(x.dtype)
+
+        for i in range(n_convs):
+            text, text_mask = MaskedConv(
+                E, 1, use_bias=not cfg.embd_with_ln, name=f"txt_embd_{i}"
+            )(text, text_mask)
+            if cfg.embd_with_ln:
+                text = LayerNormC(name=f"txt_embd_norm_{i}")(text)
+            text = nn.relu(text)
+
+        for i in range(n_txt_stem):
+            # text stem uses full (non-windowed) attention (backbones.py:512)
+            text, text_mask = TransformerBlock(
+                E, cfg.n_head, proj_drop=cfg.dropout, path_drop=cfg.droppath,
+                use_cross_modal=False, use_channel_attn=False, window=-1,
+                name=f"txt_stem_{i}",
+            )(text, text_mask, deterministic=deterministic)
+
+        for i in range(n_vid_stem):
+            x, mask = block(f"vid_stem_{i}", cross=True)(
+                x, mask, cross_y=text, cross_y_mask=text_mask,
+                deterministic=deterministic,
+            )
+
+        out_feats = [x]
+        out_masks = [mask]
+        t_cur = T
+        for i in range(n_cross + n_plain):
+            cross = i < n_cross
+            x, mask = block(
+                f"branch_{i}", stride=cfg.scale_factor, cross=cross,
+                t_in=t_cur if i in self.adapt_blocks else 0,
+            )(
+                x, mask,
+                cross_y=text if cross else None,
+                cross_y_mask=text_mask if cross else None,
+                deterministic=deterministic,
+            )
+            t_cur //= cfg.scale_factor
+            out_feats.append(x)
+            out_masks.append(mask)
+        return out_feats, out_masks

@@ -31,7 +31,7 @@ import flax.linen as nn
 
 from vilco_tpu.core.config import CLCfg, ModelConfig
 from vilco_tpu.cl.prompt import PromptPool, l2_normalize
-from vilco_tpu.models.backbone import ConvTransformerBackbone
+from vilco_tpu.models.backbone import ConvTransformerBackbone, DualTowerBackbone
 from vilco_tpu.models.layers import LayerNormC, MaskedConv, Scale
 from vilco_tpu.ops.masked import masked_mean
 
@@ -187,15 +187,16 @@ class PointTransformer(nn.Module):
                 text_mask = jnp.concatenate([pm, text_mask], axis=1)
 
         # --- backbone + neck
-        backbone = ConvTransformerBackbone(
-            cfg,
-            adapt_blocks=tuple(self.cl.adapt_blocks) if self.cl.use_adapt else (),
-            name="backbone",
-        )
-        bb_feats, bb_masks = backbone(
-            feats, mask, text=text, text_mask=text_mask,
-            deterministic=deterministic,
-        )
+        adapt = tuple(self.cl.adapt_blocks) if self.cl.use_adapt else ()
+        if cfg.variant == "nlq":
+            bb_feats, bb_masks = DualTowerBackbone(
+                cfg, adapt_blocks=adapt, name="backbone",
+            )(feats, mask, text, text_mask, deterministic=deterministic)
+        else:
+            bb_feats, bb_masks = ConvTransformerBackbone(
+                cfg, adapt_blocks=adapt, name="backbone",
+            )(feats, mask, text=text, text_mask=text_mask,
+              deterministic=deterministic)
         if cfg.fpn_type == "identity":
             fpn_feats, fpn_masks = FPNIdentity(
                 with_ln=cfg.fpn_with_ln, name="neck"

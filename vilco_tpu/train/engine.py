@@ -106,7 +106,10 @@ def compute_losses(
     cls_l = sigmoid_focal_loss(cls_logits, gt_target)      # (B, P, C)
     cls_l = cls_l * class_mask_f[None, None, :]
     cls_l = jnp.sum(cls_l, axis=-1)                        # (B, P)
-    w_cls = jnp.where(pos_mask, tgt.prob_cls, 1.0)
+    if tc.use_gaussian_weights:
+        w_cls = jnp.where(pos_mask, tgt.prob_cls, 1.0)
+    else:
+        w_cls = 1.0
     cls_loss = jnp.sum(cls_l * w_cls * valid) / norm
 
     # --- label-involved (AL) loss (meta_archs.py:1437-1449)
@@ -130,7 +133,10 @@ def compute_losses(
 
     # --- regression: DIoU * Gaussian weights on positives
     reg_l = ctr_diou_loss_1d(offsets, jnp.maximum(tgt.reg, 0.0))  # (B, P)
-    w_reg = 0.5 * (tgt.prob_reg_left + tgt.prob_reg_right) * tgt.prob_cls
+    if tc.use_gaussian_weights:
+        w_reg = 0.5 * (tgt.prob_reg_left + tgt.prob_reg_right) * tgt.prob_cls
+    else:
+        w_reg = 1.0
     reg_loss = jnp.sum(reg_l * w_reg * pos_mask) / norm
     reg_loss = jnp.where(num_pos > 0, reg_loss, 0.0)
 
