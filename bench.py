@@ -92,12 +92,14 @@ def main():
 
     for i in range(args.warmup):
         state, metrics, _ = step(state, batches[i % len(batches)], cl)
-    jax.block_until_ready(metrics["final_loss"])
+    # force a real device->host readback: under the axon tunnel,
+    # block_until_ready returns before remote execution finishes
+    float(metrics["final_loss"])
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics, _ = step(state, batches[i % len(batches)], cl)
-    jax.block_until_ready(metrics["final_loss"])
+    loss_val = float(metrics["final_loss"])
     dt = time.perf_counter() - t0
 
     clips_per_s = args.steps * B / dt
@@ -115,7 +117,7 @@ def main():
             "params_m": round(n_params / 1e6, 1),
             "devices": n_chips,
             "platform": jax.devices()[0].platform,
-            "loss": float(metrics["final_loss"]),
+            "loss": loss_val,
             "baseline_estimated": True,
         },
     }))

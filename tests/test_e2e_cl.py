@@ -88,3 +88,16 @@ def test_episode_ewc(tmp_path):
     results = runner.run()
     assert len(runner.reg_list) == 2   # estimated after tasks 0 and 1
     assert np.isfinite(results["final"]["avg_mAP"])
+
+
+@pytest.mark.slow
+def test_episode_bic(tmp_path):
+    """BiC 2-stage: stage-1 with distillation + stage-2 bias training."""
+    cfg, stream, src = small_setup("bic", memory_size=12)
+    runner = EpisodeRunner(cfg, stream, src, workdir=str(tmp_path))
+    results = runner.run()
+    assert len(results["tasks"]) == 3
+    # stage-2 actually trained bias scalars for every task
+    assert runner.bic.num_tasks_seen == 3
+    moved = np.abs(runner.bic.alphas - 1.0) + np.abs(runner.bic.betas)
+    assert (moved > 1e-6).any(), (runner.bic.alphas, runner.bic.betas)

@@ -1,0 +1,129 @@
+"""VQ plugin tests: anchors, metrics, model forward, episode end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vilco_tpu.evals.vq_metrics import (
+    BBox,
+    ResponseTrack,
+    compute_visual_query_metrics,
+    predictions_to_response_track,
+    spatio_temporal_iou,
+)
+from vilco_tpu.ops.anchors import (
+    assign_anchor_labels,
+    box_iou,
+    generate_anchors,
+    xyhw_to_xyxy,
+)
+
+
+def test_anchor_generation_matches_reference_shapes():
+    a = generate_anchors(448, 16)
+    assert a.shape == (16 * 16 * 12, 4)
+    # centers tile the 16x16 grid at region centers
+    assert np.isclose(a[0, 0], 448 / 16 * 0.5)
+    xyxy = xyhw_to_xyxy(a)
+    # aspect ratio 0.5 anchor: h = 0.5 * w, area == base area
+    h = xyxy[0, 2] - xyxy[0, 0]
+    w = xyxy[0, 3] - xyxy[0, 1]
+    assert np.isclose(h / w, 0.5, atol=1e-5)
+    assert np.isclose(h * w, 16 * 16, atol=1e-2)
+
+
+def test_anchor_assignment_threshold_and_fallback():
+    anchors = jnp.asarray(
+        [[0, 0, 10, 10], [0, 0, 2, 2], [5, 5, 15, 15]], jnp.float32
+    )
+    gt = jnp.asarray([[[0, 0, 10, 10]]], jnp.float32)  # (1,1,4)
+    lab = assign_anchor_labels(anchors, gt, iou_threshold=0.5, topk=1)
+    assert np.asarray(lab)[0, 0].tolist() == [True, False, False]
+    # no anchor passes threshold -> top-k fallback flips the best one
+    gt2 = jnp.asarray([[[100, 100, 101, 101]]], jnp.float32)
+    lab2 = assign_anchor_labels(anchors, gt2, iou_threshold=0.5, topk=1)
+    assert np.asarray(lab2).sum() == 1
+
+
+def test_st_iou_and_metrics_perfect_prediction():
+    boxes = [BBox(f, 0, 0, 10, 10) for f in range(3, 8)]
+    gt = ResponseTrack(boxes)
+    pred = ResponseTrack(list(boxes), score=0.9)
+    assert np.isclose(spatio_temporal_iou(pred, gt), 1.0)
+    m = compute_visual_query_metrics([[pred]], [gt])
+    assert np.isclose(m["tAP"], 1.0)
+    assert np.isclose(m["stAP"], 1.0)
+    assert np.isclose(m["Success"], 100.0)
+    assert np.isclose(m["recovery%"], 100.0)
+
+
+def test_metrics_shifted_prediction():
+    gt = ResponseTrack([BBox(f, 0, 0, 10, 10) for f in range(0, 10)])
+    # half-overlapping temporally, sligthly offset spatially
+    pred = ResponseTrack([BBox(f, 1, 1, 11, 11) for f in range(5, 15)],
+                         score=0.8)
+    m = compute_visual_query_metrics([[pred]], [gt])
+    assert 0.0 < m["tAP"] < 1.0 or m["tAP"] == 0.0
+    assert m["stAP"] <= m["tAP"] + 1e-9
+
+
+def test_peak_finding_recovers_span():
+    T = 30
+    scores = np.zeros(T)
+    scores[10:18] = [0.3, 0.6, 0.9, 1.0, 0.95, 0.7, 0.4, 0.2]
+    bboxes = np.tile(np.array([1.0, 2.0, 3.0, 4.0]), (T, 1))
+    rt = predictions_to_response_track(scores, bboxes, query_frame=T)
+    lo, hi = rt.temporal_extent
+    assert 10 <= lo <= 13 and 12 <= hi <= 17, (lo, hi)
+
+
+def test_clip_matcher_forward_and_hnm():
+    from vilco_tpu.models.clip_matcher import ClipMatcher
+
+    model = ClipMatcher(
+        dim=32, clip_size=16, patch_size=8, vit_dim=24, vit_depth=1,
+        vit_heads=2, resolution_transformer=2, resolution_anchor_feat=2,
+        num_transformer=1, window_transformer=3, num_frames=3,
+    )
+    B, T, S = 2, 3, 16
+    clip = jnp.zeros((B, T, S, S, 3))
+    query = jnp.zeros((B, S, S, 3))
+    params = model.init(jax.random.PRNGKey(0), clip, query,
+                        deterministic=True)["params"]
+    out = model.apply({"params": params}, clip, query, deterministic=True)
+    N = 2 * 2 * 12
+    assert out["bbox"].shape == (B, T, N, 4)
+    assert out["prob"].shape == (B, T, N)
+    out2 = model.apply({"params": params}, clip, query, hnm=True,
+                       deterministic=True)
+    assert out2["prob"].shape == (B * B, T, N)
+
+
+@pytest.mark.slow
+def test_vq_episode_end_to_end(tmp_path):
+    from vilco_tpu.tasks.vq import (
+        SyntheticVQSource,
+        VQEpisodeRunner,
+        VQTaskStream,
+        make_synthetic_vq_split,
+    )
+
+    rng = np.random.default_rng(0)
+    train, val = make_synthetic_vq_split(
+        rng, num_tasks=2, cats_per_task=1, samples_per_cat_train=3,
+        samples_per_cat_val=2, num_frames=12, window=4,
+    )
+    stream = VQTaskStream(train, val)
+    src = SyntheticVQSource(frame_size=32)
+    runner = VQEpisodeRunner(
+        stream, src, str(tmp_path), window=4, frame_size=32,
+        method="naive", epochs=6, batch_size=2, lr=2e-3,
+    )
+    results = runner.run()
+    assert len(results["tasks"]) == 2
+    final = results["final"]
+    for k in ("avg_tAP25", "avg_stAP25", "avg_success", "avg_recovery"):
+        assert np.isfinite(final[k]), final
+    assert (tmp_path / "vq_task_001.ckpt").exists()

@@ -30,12 +30,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vilco_tpu.cl.bic import (
+    BicState,
+    make_bias_stage2_step,
+    split_train_val,
+)
 from vilco_tpu.cl.regularizers import (
     estimate_importance,
     make_grad_step,
     stack_reg_tasks,
 )
-from vilco_tpu.cl.stream import RehearsalMemory, TaskStream
+from vilco_tpu.cl.stream import RehearsalMemory, TaskStream, _dedup_by_id
 from vilco_tpu.core.checkpoint import save_checkpoint
 from vilco_tpu.core.config import Config
 from vilco_tpu.data.pipeline import BatchIterator, ClipDataset
@@ -87,6 +92,10 @@ class EpisodeRunner:
         )
         self.num_classes = cfg.model.num_classes
         self.method = (cfg.cl_cfg.name or "naive").lower()
+        self.bic = (
+            BicState(self.num_classes, stream.num_tasks)
+            if self.method == "bic" else None
+        )
         self.memory = RehearsalMemory(seed=cfg.init_rand_seed)
         self.reg_list: List = []
         self.bwf_recall = BwfTracker()
@@ -171,9 +180,20 @@ class EpisodeRunner:
     def train_task(self, j: int, n_known: int):
         cfg = self.cfg
         use_memory = cfg.cl_cfg.memory_size > 0 and j > 0
-        videos = self.stream.train_videos(
-            j, self.memory if use_memory else None
-        )
+        heldout = None
+        if self.bic is not None:
+            # BiC: 90/10 split of the current task; stage 2 trains the bias
+            # layer on the held-out 10% (cl_benchmark.py:142-281)
+            self.bic.register_task(j, self.stream.task_classes(j))
+            cur = self.stream.train_videos(j, None)
+            tr, heldout = split_train_val(cur, 0.9, cfg.init_rand_seed + j)
+            videos = _dedup_by_id(
+                (self.memory.videos() if use_memory else []) + tr
+            )
+        else:
+            videos = self.stream.train_videos(
+                j, self.memory if use_memory else None
+            )
         data = self._make_dataset(videos, is_training=True)
         loader = BatchIterator(
             data, cfg, cfg.loader.batch_size, is_training=True,
@@ -253,6 +273,10 @@ class EpisodeRunner:
                         prompt_arange[None, :],
                         (len(meta["video_id"]), len(prompt_arange)),
                     ).copy()
+                if self.bic is not None and n_known > 0:
+                    a, b = self.bic.per_class(j - 1)
+                    extras["bias_alpha"] = jnp.asarray(a)
+                    extras["bias_beta"] = jnp.asarray(b)
                 cl = CLBatchExtras(
                     class_mask=class_mask,
                     memory_bank=self.memory_bank if use_ssl else None,
@@ -275,6 +299,9 @@ class EpisodeRunner:
         wall = time.time() - t0
         self.params = state.params
         self._adapter_ema = state.adapter_ema
+
+        if self.bic is not None and heldout:
+            self._bic_stage2(j, heldout, class_mask, state.loss_normalizer)
         return {
             "steps": n_steps,
             "wall_s": wall,
@@ -284,6 +311,35 @@ class EpisodeRunner:
         }
 
     # ------------------------------------------------------------------
+    def _bic_stage2(self, j, heldout, class_mask, loss_norm,
+                    epochs: int = 2):
+        """Stage-2: train only (alpha_j, beta_j) on the held-out split
+        (train_bic_one_epoch stage switch, train_utils.py:425-583)."""
+        cfg = self.cfg
+        step2, init2 = make_bias_stage2_step(
+            self.model, self.points, cfg, j, self.bic.class_task
+        )
+        bias, opt2 = init2()
+        data = self._make_dataset(heldout, is_training=True)
+        loader = BatchIterator(data, cfg, cfg.loader.batch_size,
+                               is_training=True, seed=cfg.init_rand_seed)
+        a, b = self.bic.per_class(j)
+        cl = CLBatchExtras(
+            class_mask=class_mask,
+            bias_alpha=jnp.asarray(a), bias_beta=jnp.asarray(b),
+        )
+        for ep in range(epochs):
+            loader.set_epoch(ep)
+            for batch, _ in loader:
+                bias, opt2, m = step2(
+                    bias, opt2, self.params, self._to_device(batch), cl,
+                    loss_norm,
+                )
+        self.bic.alphas[j] = float(bias["alpha"])
+        self.bic.betas[j] = float(bias["beta"])
+        log.info("bic stage2 task %d: alpha=%.4f beta=%.4f",
+                 j, self.bic.alphas[j], self.bic.betas[j])
+
     def _decode_batch(self, out, class_mask):
         t = self.cfg.test_cfg
         return decode_and_nms_batch(
@@ -309,10 +365,20 @@ class EpisodeRunner:
                            is_training=False)
         adapter_ema = getattr(self, "_adapter_ema", None)
         preds = {}
+        bias = None
+        if self.bic is not None and self.bic.num_tasks_seen > 0:
+            a, b = self.bic.per_class(self.bic.num_tasks_seen - 1)
+            bias = (jnp.asarray(a), jnp.asarray(b))
         for batch, meta in it:
             out = self.eval_step(
                 self.params, self._to_device(batch), adapter_ema
             )
+            if bias is not None:
+                out = dict(out)
+                out["cls_logits"] = (
+                    out["cls_logits"] * bias[0][None, None, :]
+                    + bias[1][None, None, :]
+                )
             det = self._decode_batch(out, class_mask)
             segs = np.asarray(det.segs)
             scores = np.asarray(det.scores)

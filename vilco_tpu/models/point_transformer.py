@@ -169,6 +169,15 @@ class PointTransformer(nn.Module):
         cfg = self.cfg
         out = {}
 
+        # bf16 activations on TPU; params stay f32, matmuls accumulate f32,
+        # norms/softmax/losses compute in f32
+        dt = jnp.dtype(cfg.compute_dtype)
+        feats = feats.astype(dt)
+        if text is not None:
+            text = text.astype(dt)
+        if narration is not None:
+            narration = narration.astype(dt)
+
         # --- L2P prompt pool on raw text tokens (meta_archs.py:759-780)
         if self.cl.prompt_pool and text is not None:
             pool = PromptPool(
@@ -212,10 +221,11 @@ class PointTransformer(nn.Module):
         # (meta_archs.py:794-811, 939-945)
         if self.cl.narration_ssl and narration is not None:
             nar = nn.Dense(cfg.embd_dim, name="narration_encoder")(narration)
-            nar = masked_mean(nar, narration_mask, axis=1)
+            nar = masked_mean(nar.astype(jnp.float32), narration_mask, axis=1)
             out["narration_feat"] = l2_normalize(nar, axis=1)
             vids = [
-                masked_mean(f, m, axis=1) for f, m in zip(fpn_feats, fpn_masks)
+                masked_mean(f.astype(jnp.float32), m, axis=1)
+                for f, m in zip(fpn_feats, fpn_masks)
             ]
             video_feat = jnp.mean(jnp.stack(vids, axis=0), axis=0)
             out["video_feat"] = l2_normalize(video_feat, axis=1)

@@ -30,7 +30,8 @@ def masked_conv1d(
     Returns (out (B, T', C_out), out_mask (B, T') bool).
     """
     # explicit symmetric padding (K//2 each side) — XLA's "SAME" pads
-    # asymmetrically for stride > 1, torch's Conv1d(padding=K//2) does not
+    # asymmetrically for stride > 1, torch's Conv1d(padding=K//2) does not.
+    # Accumulate in f32 (MXU-native) regardless of the activation dtype.
     k = kernel.shape[0]
     out = jax.lax.conv_general_dilated(
         x,
@@ -39,8 +40,8 @@ def masked_conv1d(
         padding=[(k // 2, k // 2)],
         feature_group_count=groups,
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=x.dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     if bias is not None:
         out = out + bias
     out_mask = mask[:, ::stride] if stride > 1 else mask
@@ -54,15 +55,17 @@ def channel_layernorm(x: jax.Array, weight=None, bias=None, eps: float = 1e-5):
     The reference normalizes dim=1 of (B, C, T) (blocks.py:133-175); in our
     channels-last layout that is the final axis.
     """
+    dt = x.dtype
+    x = x.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     res = x - mu
     sigma = jnp.mean(res * res, axis=-1, keepdims=True)
     out = res * jax.lax.rsqrt(sigma + eps)
     if weight is not None:
-        out = out * weight
+        out = out * weight.astype(jnp.float32)
     if bias is not None:
-        out = out + bias
-    return out
+        out = out + bias.astype(jnp.float32)
+    return out.astype(dt)
 
 
 def sinusoid_encoding(n_position: int, d_hid: int) -> np.ndarray:

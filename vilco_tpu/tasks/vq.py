@@ -1,0 +1,402 @@
+"""VQ task plugin: visual-query 2-D tracking as a CL stream.
+
+TPU-native equivalent of the VQ stack (VQ/train_cl.py:51-280,
+VQ/dataset/{base_dataset,cl_benchmark}.py, VQ/evaluation/,
+VQ/metrics/): samples are (clip frames, query crop, response track) tuples,
+tasks are object-category groups, the model is the ClipMatcher anchor
+tracker, evaluation slides windows over the clip, assembles response tracks
+via peak finding, and scores tAP/stAP/Success/recovery.
+
+The reference decodes raw video with decord + augments on GPU
+(VQ/dataset/dataset_utils.py:76-197); here frame sources are pluggable and
+the synthetic source renders a moving bright patch whose color channel is
+keyed to the query, so tracking is learnable in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vilco_tpu.cl.stream import RehearsalMemory, _dedup_by_id
+from vilco_tpu.core.checkpoint import save_checkpoint
+from vilco_tpu.evals.retrieval import BwfTracker
+from vilco_tpu.evals.vq_metrics import (
+    BBox,
+    ResponseTrack,
+    compute_visual_query_metrics,
+    predictions_to_response_track,
+)
+from vilco_tpu.models.clip_matcher import ClipMatcher
+from vilco_tpu.train.vq_engine import (
+    VQTrainState,
+    make_vq_eval_step,
+    make_vq_train_step,
+)
+
+log = logging.getLogger("vilco.vq")
+
+
+class VQTaskStream:
+    """Category-keyed QIL stream (VQ/dataset/cl_benchmark.py:18-120):
+    {task_idx: {category: [sample dicts]}}."""
+
+    def __init__(self, train_tasks: Dict[int, Dict[str, list]],
+                 val_tasks: Dict[int, Dict[str, list]]):
+        self.task_ids = sorted(train_tasks)
+        self.train_tasks = train_tasks
+        self.val_tasks = val_tasks
+
+    @property
+    def num_tasks(self) -> int:
+        return len(self.task_ids)
+
+    def train_class_videos(self, j: int) -> Dict[str, list]:
+        return self.train_tasks[self.task_ids[j]]
+
+    def train_videos(self, j: int,
+                     memory: Optional[RehearsalMemory] = None) -> List[dict]:
+        out = []
+        if memory is not None:
+            out.extend(memory.videos())
+        for samples in self.train_tasks[self.task_ids[j]].values():
+            out.extend(dict(s, is_memory=False) for s in samples)
+        return _dedup_by_id(out)
+
+    def val_videos_task(self, i: int) -> List[dict]:
+        out = []
+        for samples in self.val_tasks[self.task_ids[i]].values():
+            out.extend(samples)
+        return _dedup_by_id(out)
+
+    def memory_quota(self, memory_size: int, n_categories: int) -> int:
+        return memory_size // max(n_categories, 1)
+
+
+class SyntheticVQSource:
+    """Renders clips with a moving bright patch; the lit color channel is a
+    hash of the sample's category, and the query crop shows the same patch.
+    """
+
+    def __init__(self, frame_size: int = 32, noise: float = 0.15):
+        self.frame_size = frame_size
+        self.noise = noise
+
+    def _chan(self, category: str) -> int:
+        return int(hashlib.md5(category.encode()).hexdigest()[:8], 16) % 3
+
+    def clip(self, sample: dict) -> np.ndarray:
+        """(T_total, H, W, 3) frames following sample['track'] boxes."""
+        seed = int(hashlib.md5(sample["id"].encode()).hexdigest()[8:16], 16)
+        rng = np.random.default_rng(seed)
+        S = self.frame_size
+        T = sample["num_frames"]
+        frames = rng.random((T, S, S, 3)).astype(np.float32) * self.noise
+        ch = self._chan(sample["category"])
+        for fno, box in sample["track"].items():
+            x1, y1, x2, y2 = (np.asarray(box) * S).astype(int)
+            frames[fno, y1:max(y2, y1 + 1), x1:max(x2, x1 + 1), ch] = 1.0
+        return frames
+
+    def query(self, sample: dict) -> np.ndarray:
+        S = self.frame_size
+        q = np.random.default_rng(0).random((S, S, 3)).astype(
+            np.float32
+        ) * self.noise
+        ch = self._chan(sample["category"])
+        c = S // 4
+        q[c:-c, c:-c, ch] = 1.0
+        return q
+
+
+def make_synthetic_vq_split(rng: np.random.Generator, num_tasks: int = 3,
+                            cats_per_task: int = 2,
+                            samples_per_cat_train: int = 4,
+                            samples_per_cat_val: int = 2,
+                            num_frames: int = 16, window: int = 4):
+    """{task: {category: [samples]}} with box tracks occupying a contiguous
+    span of frames before the query frame."""
+
+    def split(n, name):
+        tasks = {}
+        sid = 0
+        for k in range(num_tasks):
+            cats = {}
+            for ci in range(cats_per_task):
+                cat = f"cat_{k * cats_per_task + ci}"
+                samples = []
+                for _ in range(n):
+                    span = int(rng.integers(3, max(4, num_frames // 2)))
+                    start = int(rng.integers(0, num_frames - span))
+                    cx, cy = rng.uniform(0.3, 0.7, 2)
+                    sz = rng.uniform(0.15, 0.3)
+                    track = {}
+                    for f in range(start, start + span):
+                        dx = (f - start) * 0.02
+                        track[f] = [
+                            float(np.clip(cx - sz / 2 + dx, 0, 1 - sz)),
+                            float(np.clip(cy - sz / 2, 0, 1 - sz)),
+                            float(np.clip(cx + sz / 2 + dx, sz, 1)),
+                            float(np.clip(cy + sz / 2, sz, 1)),
+                        ]
+                    samples.append({
+                        "id": f"{name}_s{sid:05d}",
+                        "category": cat,
+                        "num_frames": num_frames,
+                        "track": track,
+                        "query_frame": num_frames - 1,
+                        "window": window,
+                    })
+                    sid += 1
+                cats[cat] = samples
+            tasks[k] = cats
+        return tasks
+
+    return (split(samples_per_cat_train, "train"),
+            split(samples_per_cat_val, "val"))
+
+
+class VQEpisodeRunner:
+    """CL episode engine for VQ (mirrors VQ/train_cl.py:51-280): per task —
+    train the tracker (with rehearsal memory), evaluate every seen task by
+    sliding-window inference + peak finding + official metrics, track BwF."""
+
+    def __init__(self, stream: VQTaskStream, source: SyntheticVQSource,
+                 workdir: str, *, window: int = 4, frame_size: int = 32,
+                 method: str = "naive", memory_size: int = 0,
+                 reg_lambda: float = 0.0, epochs: int = 4,
+                 batch_size: int = 2, lr: float = 1e-3, seed: int = 0,
+                 use_hnm: bool = False):
+        self.stream = stream
+        self.source = source
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.window = window
+        self.frame_size = frame_size
+        self.method = method
+        self.memory_size = memory_size
+        self.reg_lambda = reg_lambda
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.lr = lr
+        self.seed = seed
+        self.use_hnm = use_hnm
+
+        self.model = ClipMatcher(
+            dim=64, clip_size=frame_size, patch_size=8,
+            vit_dim=48, vit_depth=2, vit_heads=4,
+            resolution_transformer=frame_size // 8,
+            resolution_anchor_feat=frame_size // 8,
+            num_transformer=1, window_transformer=5,
+            num_frames=window,
+        )
+        rng = jax.random.PRNGKey(seed)
+        clip0 = jnp.zeros((1, window, frame_size, frame_size, 3))
+        query0 = jnp.zeros((1, frame_size, frame_size, 3))
+        self.params = self.model.init(rng, clip0, query0,
+                                      deterministic=True)["params"]
+        self.tx = optax.adamw(lr, weight_decay=1e-4)
+        self.train_step = make_vq_train_step(
+            self.model, self.tx, use_hnm=use_hnm,
+            reg_lambda=reg_lambda,
+        )
+        self.eval_step = make_vq_eval_step(self.model)
+        self.memory = RehearsalMemory(seed=seed)
+        self.reg_list: List = []
+        self.bwf = BwfTracker()
+
+    # --------------------------------------------------------------
+    def _sample_window(self, sample: dict, rng: np.random.Generator):
+        """Random training window around the response track."""
+        T = sample["num_frames"]
+        w = self.window
+        fnos = sorted(sample["track"])
+        center = int(rng.choice(fnos))
+        start = int(np.clip(center - rng.integers(0, w), 0, T - w))
+        clip = self.source.clip(sample)[start:start + w]
+        bbox = np.zeros((w, 4), np.float32)
+        with_box = np.zeros((w,), np.float32)
+        for i in range(w):
+            box = sample["track"].get(start + i)
+            if box is not None:
+                bbox[i] = box
+                with_box[i] = 1.0
+        before = (np.arange(start, start + w) <
+                  sample["query_frame"]).astype(np.float32)
+        return {
+            "clip": clip,
+            "query": self.source.query(sample),
+            "clip_bbox": bbox,
+            "clip_with_bbox": with_box,
+            "before_query": before,
+        }
+
+    def _train_batches(self, videos, rng):
+        idx = rng.permutation(len(videos))
+        B = self.batch_size
+        for b in range(max(len(idx) // B, 1)):
+            sel = [videos[i] for i in
+                   np.resize(idx, max(len(idx), B))[b * B:(b + 1) * B]]
+            parts = [self._sample_window(s, rng) for s in sel]
+            yield {
+                k: jnp.asarray(np.stack([p[k] for p in parts]))
+                for k in parts[0]
+            }
+
+    def train_task(self, j: int):
+        use_memory = self.memory_size > 0 and j > 0
+        videos = self.stream.train_videos(
+            j, self.memory if use_memory else None
+        )
+        rng = np.random.default_rng(self.seed + j)
+        state = VQTrainState(
+            step=jnp.zeros((), jnp.int32), params=self.params,
+            opt_state=self.tx.init(self.params),
+            rng=jax.random.PRNGKey(self.seed + j),
+        )
+        reg = None
+        if self.method in ("ewc", "mas") and self.reg_list:
+            from vilco_tpu.cl.regularizers import stack_reg_tasks
+
+            f, o = stack_reg_tasks(self.reg_list)
+            reg = (jax.tree.map(jnp.asarray, f), jax.tree.map(jnp.asarray, o))
+        t0 = time.time()
+        n = 0
+        for ep in range(self.epochs):
+            for batch in self._train_batches(videos, rng):
+                state, metrics = self.train_step(state, batch, reg)
+                n += 1
+        self.params = state.params
+        last = {k: float(v) for k, v in metrics.items()}
+        log.info("vq task %d: %d steps, %.1fs, %s", j, n,
+                 time.time() - t0, {k: round(v, 4) for k, v in last.items()})
+
+        if self.method in ("ewc", "mas") and j < self.stream.num_tasks - 1:
+            self._estimate_importance(videos, rng)
+        if self.memory_size > 0:
+            n_cats = sum(
+                len(self.stream.train_class_videos(i))
+                for i in range(j + 1)
+            )
+            m = self.stream.memory_quota(self.memory_size, n_cats)
+            self.memory.add_task(self.stream.train_class_videos(j), m)
+        return last
+
+    def _estimate_importance(self, videos, rng):
+        def grad_fn(params, batch):
+            def loss(p):
+                from vilco_tpu.train.vq_engine import vq_losses
+
+                preds = self.model.apply(
+                    {"params": p}, batch["clip"], batch["query"],
+                    deterministic=True,
+                )
+                gts = {k: batch[k] for k in
+                       ("clip_bbox", "clip_with_bbox", "before_query")}
+                return vq_losses(preds, gts)[0]
+
+            return jax.grad(loss)(params)
+
+        grad_fn = jax.jit(grad_fn)
+        acc = None
+        for batch in self._train_batches(videos, rng):
+            g = grad_fn(self.params, batch)
+            acc = g if acc is None else jax.tree.map(jnp.add, acc, g)
+        if acc is None:
+            return
+        imp = jax.tree.map(
+            lambda g: np.asarray(jnp.square(g) if self.method == "ewc"
+                                 else jnp.abs(g)), acc
+        )
+        optpar = jax.tree.map(np.asarray, self.params)
+        self.reg_list.append((imp, optpar))
+
+    # --------------------------------------------------------------
+    def predict_track(self, sample: dict) -> ResponseTrack:
+        """Sliding-window inference over the full clip
+        (task_inference_predict.py:30-150) -> per-frame top bbox/prob ->
+        peak finding -> ResponseTrack."""
+        frames = self.source.clip(sample)
+        query = self.source.query(sample)[None]
+        T = sample["num_frames"]
+        w = self.window
+        scores = np.zeros((T,), np.float64)
+        boxes = np.zeros((T, 4), np.float64)
+        counts = np.zeros((T,), np.int64)
+        for start in range(0, T, w):
+            start = min(start, T - w)
+            clip = jnp.asarray(frames[start:start + w][None])
+            bbox, prob = self.eval_step(self.params, clip,
+                                        jnp.asarray(query))
+            bbox = np.asarray(bbox[0])
+            prob = np.asarray(prob[0])
+            for i in range(w):
+                f = start + i
+                if counts[f] == 0 or prob[i] > scores[f]:
+                    scores[f] = prob[i]
+                    boxes[f] = bbox[i]
+                counts[f] += 1
+        # to pixel coords for the metrics
+        boxes = boxes * self.frame_size
+        return predictions_to_response_track(
+            scores, boxes, sample["query_frame"]
+        )
+
+    def evaluate(self, j: int) -> Dict:
+        per_task = []
+        per_task_key = {}
+        weights = {}
+        for i in range(j + 1):
+            samples = self.stream.val_videos_task(i)
+            gt_rts, pred_rts = [], []
+            for s in samples:
+                gt_boxes = [
+                    BBox(f, *(np.asarray(b) * self.frame_size))
+                    for f, b in sorted(s["track"].items())
+                ]
+                gt_rts.append(ResponseTrack(gt_boxes))
+                pred_rts.append([self.predict_track(s)])
+            m = compute_visual_query_metrics(pred_rts, gt_rts)
+            weights[i] = len(samples)
+            per_task_key[i] = m["tAP@0.25"]
+            per_task.append({"task": i, **m})
+        bwf = self.bwf.update(j, per_task_key, weights)
+        avg = lambda key: float(np.average(
+            [t[key] for t in per_task],
+            weights=[weights[t["task"]] for t in per_task],
+        ))
+        return {
+            "per_task": per_task,
+            "avg_tAP25": avg("tAP@0.25"),
+            "avg_stAP25": avg("stAP@0.25"),
+            "avg_success": avg("Success"),
+            "avg_recovery": avg("recovery%"),
+            "BwF_tAP25": bwf,
+        }
+
+    def run(self) -> Dict:
+        results = {"tasks": [], "method": self.method}
+        for j in range(self.stream.num_tasks):
+            train_stats = self.train_task(j)
+            eval_stats = self.evaluate(j)
+            log.info("vq task %d eval: tAP25=%.3f stAP25=%.3f succ=%.1f",
+                     j, eval_stats["avg_tAP25"], eval_stats["avg_stAP25"],
+                     eval_stats["avg_success"])
+            save_checkpoint(
+                os.path.join(self.workdir, f"vq_task_{j:03d}.ckpt"),
+                {"params": self.params, "task": j},
+            )
+            results["tasks"].append(
+                {"task": j, "train": train_stats, "eval": eval_stats}
+            )
+        results["final"] = results["tasks"][-1]["eval"]
+        return results

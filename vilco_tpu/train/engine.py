@@ -48,6 +48,8 @@ class CLBatchExtras(struct.PyTreeNode):
     memory_ptr: Optional[jax.Array] = None        # () int32
     fisher: Any = None                            # stacked (K, ...) pytrees
     optpar: Any = None
+    bias_alpha: Optional[jax.Array] = None        # (C,) BiC per-class alpha
+    bias_beta: Optional[jax.Array] = None         # (C,) BiC per-class beta
 
 
 def _is_adapter_path(path) -> bool:
@@ -259,6 +261,14 @@ def make_train_step(
                 deterministic=False,
                 rngs={"dropout": drng},
             )
+            if cl.bias_alpha is not None:
+                # BiC bias layers on past-task logit slices
+                # (meta_archs.py:823-836)
+                outputs = dict(outputs)
+                outputs["cls_logits"] = (
+                    outputs["cls_logits"] * cl.bias_alpha[None, None, :]
+                    + cl.bias_beta[None, None, :]
+                )
             loss, metrics, new_norm = compute_losses(
                 outputs, batch, points, cfg, cl, state.loss_normalizer,
                 cl_method, n_known,
