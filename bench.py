@@ -22,7 +22,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+# Persistent compile cache: remote TPU compilation through the axon tunnel is
+# slow for large modules; a warmed cache makes repeat runs fast.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache",
+                 "jax_tpu"),
+)
+# Initialize params on CPU: the init graph alone remote-compiles for minutes.
+if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+    os.environ["JAX_PLATFORMS"] = "axon,cpu"
 
 REFERENCE_GPU_CLIPS_PER_S_ESTIMATE = 16.0
 
@@ -62,12 +74,23 @@ def main():
     model = PointTransformer(cfg.model, cfg.cl_cfg)
     rng = np.random.default_rng(0)
     batch_np = make_batch(rng, B, cfg)
-    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
-    params = model.init(
-        jax.random.PRNGKey(0), batch["feats"], batch["mask"],
-        deterministic=True,
-    )["params"]
+    # init on CPU (cheap interpile), then transfer to the accelerator
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    accel = jax.devices()[0]
+    with jax.default_device(cpu):
+        feats0 = jnp.asarray(batch_np["feats"])
+        mask0 = jnp.asarray(batch_np["mask"])
+        params = model.init(
+            jax.random.PRNGKey(0), feats0, mask0, deterministic=True,
+        )["params"]
+    params = jax.device_put(params, accel)
+    batch = jax.device_put(
+        {k: jnp.asarray(v) for k, v in batch_np.items()}, accel
+    )
     n_params = sum(x.size for x in jax.tree.leaves(params))
 
     tx, _ = make_optimizer(cfg.opt, params, steps_per_epoch=100)
@@ -76,19 +99,24 @@ def main():
         cfg.model.regression_range,
     ))
     step = make_train_step(model, tx, points, cfg)
+    with jax.default_device(cpu):
+        opt_state = tx.init(jax.device_put(params, cpu))
+    opt_state = jax.device_put(opt_state, accel)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         loss_normalizer=jnp.asarray(100.0, jnp.float32),
         rng=jax.random.PRNGKey(1),
     )
     cl = CLBatchExtras(class_mask=jnp.ones((cfg.model.num_classes,), bool))
 
     # pre-build a few distinct batches so the loop isn't one cached input
-    batches = []
-    for _ in range(4):
+    batches = [batch]
+    for _ in range(3):
         b = make_batch(rng, B, cfg)
-        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+        batches.append(jax.device_put(
+            {k: jnp.asarray(v) for k, v in b.items()}, accel
+        ))
 
     for i in range(args.warmup):
         state, metrics, _ = step(state, batches[i % len(batches)], cl)

@@ -8,7 +8,7 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins "axon"
 # Persistent compile cache makes repeated pytest runs cheap on 1 CPU core.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 flags = os.environ.get("XLA_FLAGS", "")

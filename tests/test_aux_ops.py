@@ -1,0 +1,89 @@
+"""Tests: roi_align_1d, deformable conv, ext-score fusion, metrics logger."""
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vilco_tpu.ops.deform_conv import PackedDeformConv, deform_conv1d
+from vilco_tpu.ops.ext_scores import fuse_external_scores
+from vilco_tpu.ops.roi_align import roi_align_1d
+
+
+def test_roi_align_exact_on_linear_ramp():
+    # features linear in t -> align must reproduce the midpoint values
+    T, C = 32, 3
+    feats = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.float32)[None, :, None], (1, T, C)
+    )
+    rois = jnp.asarray([[0, 4.0, 12.0]])
+    out = roi_align_1d(feats, rois, out_size=4, sampling_ratio=2)
+    # bins of [4,12): centers at 5, 7, 9, 11
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :, 0], [5.0, 7.0, 9.0, 11.0], atol=1e-5
+    )
+
+
+def test_roi_align_is_differentiable():
+    feats = jnp.ones((1, 16, 2))
+    rois = jnp.asarray([[0, 2.0, 10.0]])
+    g = jax.grad(lambda f: roi_align_1d(f, rois, 4).sum())(feats)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.asarray(g).sum() > 0
+
+
+def test_deform_conv_zero_offsets_equals_conv(rng):
+    B, T, Cin, Cout, K = 2, 16, 4, 5, 3
+    x = rng.standard_normal((B, T, Cin)).astype(np.float32)
+    w = rng.standard_normal((K, Cin, Cout)).astype(np.float32)
+    out = deform_conv1d(
+        jnp.asarray(x), jnp.zeros((B, T, K)), jnp.asarray(w)
+    )
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1,), [(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    # zero offsets reduce to a standard conv except at the clamped borders
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 1:-1], np.asarray(ref)[:, 1:-1], atol=1e-4
+    )
+
+
+def test_packed_deform_conv_runs():
+    m = PackedDeformConv(8)
+    x = jnp.ones((2, 16, 4))
+    mask = jnp.ones((2, 16), bool)
+    params = m.init(jax.random.PRNGKey(0), x, mask)
+    out, _ = m.apply(params, x, mask)
+    assert out.shape == (2, 16, 8)
+
+
+def test_ext_score_fusion():
+    preds = {"v0": {
+        "segments": np.array([[0, 5.0], [10, 15.0]]),
+        "scores": np.array([0.64, 0.25]),
+        "labels": np.array([3, 3]),
+    }}
+    cls_scores = {"v0": [0.0, 0.25, 0.0, 0.0, 1.0]}
+    out = fuse_external_scores(preds, cls_scores, topk=2)
+    v = out["v0"]
+    assert len(v["scores"]) == 4
+    # top external classes are 4 then 1; geometric mean of scores
+    assert set(v["labels"].tolist()) == {4, 1}
+    np.testing.assert_allclose(
+        sorted(v["scores"])[-1], np.sqrt(1.0 * 0.64), atol=1e-9
+    )
+
+
+def test_metrics_logger(tmp_path):
+    from vilco_tpu.core.logging import MetricsLogger
+
+    ml = MetricsLogger(str(tmp_path / "m.jsonl"))
+    ml.log("train", step=1, loss=0.5)
+    ml.log("eval", step=2, mAP=0.7, note="x")
+    ml.close()
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert recs[0]["loss"] == 0.5
+    assert recs[1]["kind"] == "eval" and recs[1]["note"] == "x"

@@ -101,3 +101,27 @@ def test_episode_bic(tmp_path):
     assert runner.bic.num_tasks_seen == 3
     moved = np.abs(runner.bic.alphas - 1.0) + np.abs(runner.bic.betas)
     assert (moved > 1e-6).any(), (runner.bic.alphas, runner.bic.betas)
+
+
+@pytest.mark.slow
+def test_episode_resume(tmp_path):
+    """Checkpoint/resume: run 2 tasks, new runner resumes and finishes."""
+    cfg, stream, src = small_setup("naive")
+    cfg = cfg.updated(opt=cfg.opt.updated(epochs=2))
+    runner = EpisodeRunner(cfg, stream, src, workdir=str(tmp_path))
+    # run only the first two tasks
+    for j in range(2):
+        runner.train_task(j, 0)
+        runner.evaluate(j)
+        from vilco_tpu.core.checkpoint import save_checkpoint
+        save_checkpoint(str(tmp_path / f"task_{j:03d}.ckpt"), {
+            "params": runner.params, "task": j, "n_known": 0,
+            "memory_bank": None, "reg_list": [], "bwf_recall": {},
+            "bwf_map": {}, "bic": None,
+        })
+    runner2 = EpisodeRunner(cfg, stream, src, workdir=str(tmp_path))
+    results = runner2.run(resume=True)
+    # only the remaining task was trained
+    assert len(results["tasks"]) == 1
+    assert results["tasks"][0]["task"] == 2
+    assert (tmp_path / "metrics.jsonl").exists()

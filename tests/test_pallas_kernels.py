@@ -1,0 +1,50 @@
+"""Pallas kernel tests (interpret mode on CPU): fused banded attention vs
+the XLA blocked implementation, values + gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vilco_tpu.kernels.banded_attention import banded_attention_fused
+from vilco_tpu.ops.attention import banded_attention
+
+
+@pytest.mark.parametrize("window,T", [(4, 64), (8, 64)])
+def test_fused_matches_xla(rng, window, T):
+    B, H, D = 2, 2, 16
+    q, k, v = (rng.standard_normal((B, T, H, D)).astype(np.float32)
+               for _ in range(3))
+    mask = np.arange(T)[None, :] < np.array([[T], [T - 7]])
+
+    out_ref = banded_attention(
+        *map(jnp.asarray, (q, k, v)), jnp.asarray(mask), window=window
+    )
+    out = banded_attention_fused(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        window, 0, True,   # interpret mode
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=2e-5)
+
+
+def test_fused_gradients_match(rng):
+    B, T, H, D, w = 1, 32, 2, 8, 4
+    q, k, v = (rng.standard_normal((B, T, H, D)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), bool)
+    jq, jk, jv, jm = map(jnp.asarray, (q, k, v, mask))
+
+    def loss_fused(q_, k_, v_):
+        return jnp.sum(
+            banded_attention_fused(q_, k_, v_, jm, w, 0, True) ** 2
+        )
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(banded_attention(q_, k_, v_, jm, window=w) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(jq, jk, jv)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(jq, jk, jv)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

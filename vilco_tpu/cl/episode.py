@@ -41,8 +41,9 @@ from vilco_tpu.cl.regularizers import (
     stack_reg_tasks,
 )
 from vilco_tpu.cl.stream import RehearsalMemory, TaskStream, _dedup_by_id
-from vilco_tpu.core.checkpoint import save_checkpoint
+from vilco_tpu.core.checkpoint import load_checkpoint, save_checkpoint
 from vilco_tpu.core.config import Config
+from vilco_tpu.core.logging import MetricsLogger, profile_ctx
 from vilco_tpu.data.pipeline import BatchIterator, ClipDataset
 from vilco_tpu.evals.anet_map import ANETDetection, cumulative_cl_gt
 from vilco_tpu.evals.retrieval import (
@@ -115,6 +116,14 @@ class EpisodeRunner:
             ensemble_adapters=cfg.cl_cfg.use_adapt,
         )
         self._decode = None
+        self.metrics_log = MetricsLogger(
+            os.path.join(workdir, "metrics.jsonl")
+        )
+        self.ext_cls_scores = None
+        if cfg.test_cfg.ext_score_file:
+            from vilco_tpu.ops.ext_scores import load_cls_scores
+
+            self.ext_cls_scores = load_cls_scores(cfg.test_cfg.ext_score_file)
 
     # ------------------------------------------------------------------
     def _setup_eval(self):
@@ -296,6 +305,8 @@ class EpisodeRunner:
                 "task %d epoch %d: %s", j, epoch,
                 {k: round(v, 4) for k, v in last_metrics.items()},
             )
+            self.metrics_log.log("train_epoch", step=int(state.step),
+                                 task=j, epoch=epoch, **last_metrics)
         wall = time.time() - t0
         self.params = state.params
         self._adapter_ema = state.adapter_ema
@@ -358,12 +369,43 @@ class EpisodeRunner:
             multiclass=t.multiclass_nms,
         )
 
+    def _collect_fpn_feats(self, videos):
+        """Per-level feature stacks for exemplar-mean computation
+        (classify, meta_archs.py:1068-1096)."""
+        data = self._make_dataset(videos, is_training=False)
+        it = BatchIterator(data, self.cfg, self.cfg.loader.batch_size,
+                           is_training=False)
+        levels = None
+        for batch, meta in it:
+            out = self.eval_step(self.params, self._to_device(batch),
+                                 getattr(self, "_adapter_ema", None))
+            feats = [np.asarray(f) for f in out["fpn_feats"]]
+            keep = [i for i, p in enumerate(meta["pad"]) if not p]
+            if levels is None:
+                levels = [[] for _ in feats]
+            for li, f in enumerate(feats):
+                levels[li].extend(f[i] for i in keep)
+        return levels or []
+
+    def _refresh_exemplar_means(self):
+        """Recompute iCaRL exemplar means from the rehearsal memory
+        (compute_means path, meta_archs.py:1066-1096)."""
+        from vilco_tpu.cl.icarl import compute_exemplar_means
+
+        self._icarl_means, self._icarl_valid = compute_exemplar_means(
+            self._collect_fpn_feats, self.memory.data, self.num_classes
+        )
+
     def predict_videos(self, videos, class_mask) -> Dict[str, dict]:
         """Run eval forward + decode over videos; segments in seconds."""
         data = self._make_dataset(videos, is_training=False)
         it = BatchIterator(data, self.cfg, self.cfg.loader.batch_size,
                            is_training=False)
         adapter_ema = getattr(self, "_adapter_ema", None)
+        icarl_means = getattr(self, "_icarl_means", None)
+        use_icarl_filter = (
+            self.method == "icarl" and icarl_means
+        )
         preds = {}
         bias = None
         if self.bic is not None and self.bic.num_tasks_seen > 0:
@@ -378,6 +420,17 @@ class EpisodeRunner:
                 out["cls_logits"] = (
                     out["cls_logits"] * bias[0][None, None, :]
                     + bias[1][None, None, :]
+                )
+            if use_icarl_filter:
+                from vilco_tpu.cl.icarl import distance_keep_mask
+
+                keep = distance_keep_mask(
+                    [np.asarray(f) for f in out["fpn_feats"]],
+                    icarl_means, self._icarl_valid,
+                )
+                out = dict(out)
+                out["cls_logits"] = jnp.where(
+                    jnp.asarray(keep), out["cls_logits"], -1e9
                 )
             det = self._decode_batch(out, class_mask)
             segs = np.asarray(det.segs)
@@ -404,6 +457,8 @@ class EpisodeRunner:
     def evaluate(self, j: int) -> Dict:
         """Cumulative per-task eval + BwF (final_validate,
         MQ/libs/utils/train_utils.py:1176-1349)."""
+        if self.method == "icarl" and self.memory.n_known > 0:
+            self._refresh_exemplar_means()
         class_mask = self._class_mask(j)
         gt_j = self.cl_gt[j]
         act_idx = gt_j["activity_index"]
@@ -413,6 +468,11 @@ class EpisodeRunner:
         for i in range(j + 1):
             videos = self.stream.val_videos_upto(i)
             preds = self.predict_videos(videos, class_mask)
+            if self.ext_cls_scores:
+                # external video-level score fusion (postprocessing.py:97)
+                from vilco_tpu.ops.ext_scores import fuse_external_scores
+
+                preds = fuse_external_scores(preds, self.ext_cls_scores)
             rec = {"video-id": [], "t-start": [], "t-end": [], "label": [],
                    "score": []}
             for vid, p in preds.items():
@@ -480,11 +540,43 @@ class EpisodeRunner:
         }
 
     # ------------------------------------------------------------------
-    def run(self) -> Dict:
+    def _try_resume(self):
+        """Resume from the latest task checkpoint in workdir (the reference
+        restores epoch/optim/sched + reg_params + pickled memory,
+        MQ/train_cl.py:172-189, 360-361)."""
+        import glob
+
+        ckpts = sorted(glob.glob(os.path.join(self.workdir, "task_*.ckpt")))
+        if not ckpts:
+            return -1, 0
+        tree = load_checkpoint(ckpts[-1])
+        self.params = jax.tree.map(jnp.asarray, tree["params"])
+        if tree.get("memory_bank") is not None:
+            self.memory_bank = jnp.asarray(tree["memory_bank"])
+        if tree.get("reg_list"):
+            self.reg_list = tree["reg_list"]
+        if tree.get("bwf_recall"):
+            self.bwf_recall.recorded = tree["bwf_recall"]
+            self.bwf_map.recorded = tree["bwf_map"]
+        if self.bic is not None and tree.get("bic"):
+            self.bic.alphas = tree["bic"]["alphas"]
+            self.bic.betas = tree["bic"]["betas"]
+            self.bic.class_task = tree["bic"]["class_task"]
+            self.bic.num_tasks_seen = int(tree["bic"]["num_tasks_seen"])
+        mem_path = os.path.join(self.workdir, self.cfg.cl_cfg.path_memory)
+        if os.path.exists(mem_path):
+            self.memory.load(mem_path)
+        log.info("resumed from %s (task %d)", ckpts[-1], tree["task"])
+        return int(tree["task"]), int(tree.get("n_known", 0))
+
+    def run(self, resume: bool = False) -> Dict:
         cfg = self.cfg
         results = {"tasks": [], "method": self.method}
         n_known = 0
-        for j in range(self.stream.num_tasks):
+        done_task = -1
+        if resume:
+            done_task, n_known = self._try_resume()
+        for j in range(done_task + 1, self.stream.num_tasks):
             log.info("=== task %d/%d (method=%s, n_known=%d) ===",
                      j + 1, self.stream.num_tasks, self.method, n_known)
             train_stats = self.train_task(j, n_known)
@@ -526,7 +618,25 @@ class EpisodeRunner:
                     "task": j,
                     "n_known": n_known,
                     "memory_bank": self.memory_bank,
+                    "reg_list": self.reg_list,
+                    "bwf_recall": self.bwf_recall.recorded,
+                    "bwf_map": self.bwf_map.recorded,
+                    "bic": (
+                        {
+                            "alphas": self.bic.alphas,
+                            "betas": self.bic.betas,
+                            "class_task": self.bic.class_task,
+                            "num_tasks_seen": self.bic.num_tasks_seen,
+                        } if self.bic is not None else None
+                    ),
                 },
+            )
+            self.metrics_log.log(
+                "task_eval", step=j, task=j,
+                avg_mAP=eval_stats.get("avg_mAP", 0.0),
+                R1_05=eval_stats.get("avg_R1@0.5", 0.0),
+                bwf=eval_stats.get("BwF_R1@0.5", 0.0),
+                clips_per_s=train_stats.get("clips_per_s", 0.0),
             )
             results["tasks"].append({
                 "task": j,

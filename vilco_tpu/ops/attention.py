@@ -67,38 +67,48 @@ def banded_attention(
     if w <= 0 or 2 * w + 1 >= T:
         return masked_attention(q, k, v, kv_mask)
     assert T % w == 0, f"T={T} must be divisible by window={w}"
-    nb = T // w
+
+    # Query block size: the largest multiple of w that is <= 128 and divides
+    # T — keeps every matmul MXU-tile sized even for tiny windows (w=4 for
+    # NLQ would otherwise produce 4-wide matmuls).
+    S = w
+    for cand in range(min(128, T), w - 1, -1):
+        if cand % w == 0 and T % cand == 0:
+            S = cand
+            break
+    nb = T // S
 
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=jnp.float32)).astype(q.dtype)
 
-    # Block queries: (B, nb, w, H, D)
-    qb = q.reshape(B, nb, w, H, D) * scale
+    # Block queries: (B, nb, S, H, D)
+    qb = q.reshape(B, nb, S, H, D) * scale
 
-    # Keys/values with one-block halo on each side: (B, nb, 3w, H, D)
+    # Keys/values with a w-halo on each side: (B, nb, S + 2w, H, D)
     kv_m = kv_mask
     vz = v * kv_m[:, :, None, None].astype(v.dtype)
+    span = S + 2 * w
 
     def halo(x, pad_value=0.0):
-        # x: (B, T, ...) -> (B, nb, 3w, ...)
+        # x: (B, T, ...) -> (B, nb, S + 2w, ...)
         pad = [(0, 0), (w, w)] + [(0, 0)] * (x.ndim - 2)
         xp = jnp.pad(x, pad, constant_values=pad_value)
-        idx = (jnp.arange(nb)[:, None] * w + jnp.arange(3 * w)[None, :])
+        idx = (jnp.arange(nb)[:, None] * S + jnp.arange(span)[None, :])
         return xp[:, idx]
 
-    kb = halo(k)                           # (B, nb, 3w, H, D)
+    kb = halo(k)                           # (B, nb, span, H, D)
     vb = halo(vz)
-    mb = halo(kv_m.astype(jnp.bool_), pad_value=False)   # (B, nb, 3w)
+    mb = halo(kv_m.astype(jnp.bool_), pad_value=False)   # (B, nb, span)
 
     att = jnp.einsum("bnqhd,bnkhd->bnhqk", qb, kb,
-                     preferred_element_type=jnp.float32)  # (B,nb,H,w,3w)
+                     preferred_element_type=jnp.float32)  # (B,nb,H,S,span)
 
-    # Band mask inside the 3w halo: query position i (0..w-1) in the block may
-    # attend to halo position j (0..3w-1) iff |(j - w) - i| <= w.
-    qi = jnp.arange(w)[:, None]
-    kj = jnp.arange(3 * w)[None, :]
-    band = jnp.abs((kj - w) - qi) <= w      # (w, 3w)
-    allow = band[None, None, :, :] & mb[:, :, None, :]    # (B,nb,w,3w)
+    # Band mask inside the halo: query position i (0..S-1) in the block may
+    # attend to halo position j (0..span-1) iff |(j - w) - i| <= w.
+    qi = jnp.arange(S)[:, None]
+    kj = jnp.arange(span)[None, :]
+    band = jnp.abs((kj - w) - qi) <= w      # (S, span)
+    allow = band[None, None, :, :] & mb[:, :, None, :]    # (B,nb,S,span)
     att = jnp.where(allow[:, :, None, :, :], att, NEG_INF)
     att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
     # A fully-masked row (query outside kv_mask support) softmaxes to uniform;

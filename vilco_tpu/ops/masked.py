@@ -31,7 +31,9 @@ def masked_conv1d(
     """
     # explicit symmetric padding (K//2 each side) — XLA's "SAME" pads
     # asymmetrically for stride > 1, torch's Conv1d(padding=K//2) does not.
-    # Accumulate in f32 (MXU-native) regardless of the activation dtype.
+    # No preferred_element_type upcast: the TPU MXU accumulates bf16 convs
+    # in f32 internally, and an explicit f32 output breaks the conv
+    # transpose rule's dtype matching under autodiff.
     k = kernel.shape[0]
     out = jax.lax.conv_general_dilated(
         x,
@@ -40,8 +42,7 @@ def masked_conv1d(
         padding=[(k // 2, k // 2)],
         feature_group_count=groups,
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if bias is not None:
         out = out + bias
     out_mask = mask[:, ::stride] if stride > 1 else mask

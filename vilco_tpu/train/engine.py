@@ -393,6 +393,7 @@ def make_eval_step(model, cfg: Config, *, use_prompt: bool = False,
             "cls_logits": out["cls_logits"],
             "offsets": out["offsets"],
             "fpn_mask": out["fpn_mask"],
+            "fpn_feats": tuple(out["fpn_feats"]),
         }
 
     return jax.jit(step)
