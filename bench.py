@@ -46,6 +46,9 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--scan-steps", type=int, default=8,
+                   help="train steps fused per dispatch via lax.scan; "
+                        "1 = plain per-step dispatch")
     args = p.parse_args()
 
     import numpy as np
@@ -62,6 +65,7 @@ def main():
     from vilco_tpu.train.engine import (
         CLBatchExtras,
         TrainState,
+        make_multi_train_step,
         make_train_step,
     )
     from vilco_tpu.train.optim import make_optimizer
@@ -98,7 +102,11 @@ def main():
         level_lengths(cfg.model), cfg.model.fpn_strides,
         cfg.model.regression_range,
     ))
-    step = make_train_step(model, tx, points, cfg)
+    K = max(args.scan_steps, 1)
+    if K > 1:
+        step = make_multi_train_step(model, tx, points, cfg, K)
+    else:
+        step = make_train_step(model, tx, points, cfg)
     with jax.default_device(cpu):
         opt_state = tx.init(jax.device_put(params, cpu))
     opt_state = jax.device_put(opt_state, accel)
@@ -110,13 +118,22 @@ def main():
     )
     cl = CLBatchExtras(class_mask=jnp.ones((cfg.model.num_classes,), bool))
 
-    # pre-build a few distinct batches so the loop isn't one cached input
-    batches = [batch]
-    for _ in range(3):
+    # pre-build distinct batches so the loop isn't one cached input
+    def fresh_batch():
         b = make_batch(rng, B, cfg)
-        batches.append(jax.device_put(
-            {k: jnp.asarray(v) for k, v in b.items()}, accel
-        ))
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    if K > 1:
+        batches = [
+            jax.device_put(
+                jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[fresh_batch() for _ in range(K)]),
+                accel,
+            )
+            for _ in range(2)
+        ]
+    else:
+        batches = [jax.device_put(fresh_batch(), accel) for _ in range(4)]
 
     for i in range(args.warmup):
         state, metrics, _ = step(state, batches[i % len(batches)], cl)
@@ -130,7 +147,7 @@ def main():
     loss_val = float(metrics["final_loss"])
     dt = time.perf_counter() - t0
 
-    clips_per_s = args.steps * B / dt
+    clips_per_s = args.steps * K * B / dt
     n_chips = jax.device_count()
     value = clips_per_s / n_chips
     print(json.dumps({
@@ -141,7 +158,8 @@ def main():
         "detail": {
             "batch": B,
             "steps": args.steps,
-            "step_ms": round(dt / args.steps * 1e3, 2),
+            "scan_steps": K,
+            "step_ms": round(dt / (args.steps * K) * 1e3, 2),
             "params_m": round(n_params / 1e6, 1),
             "devices": n_chips,
             "platform": jax.devices()[0].platform,

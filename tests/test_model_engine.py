@@ -171,3 +171,53 @@ def test_vilco_extras_prompt_ssl_adapter():
     ev = make_eval_step(model, cfg, ensemble_adapters=True)
     out = ev(state.params, b, state.adapter_ema)
     assert np.isfinite(np.asarray(out["cls_logits"])).all()
+
+
+def test_multi_step_scan_matches_sequential():
+    """make_multi_train_step(K) == K sequential make_train_step calls."""
+    from vilco_tpu.train.engine import make_multi_train_step
+
+    cfg = tiny_config()
+    model, params, _ = build(cfg)
+    tx, _ = make_optimizer(cfg.opt, params, steps_per_epoch=10)
+    points = jnp.asarray(generate_points(
+        level_lengths(cfg.model), cfg.model.fpn_strides,
+        cfg.model.regression_range,
+    ))
+
+    def fresh_state():
+        # deep-copy: the donated step consumes the previous state's buffers
+        p = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=p,
+            opt_state=tx.init(p),
+            loss_normalizer=jnp.asarray(cfg.train_cfg.init_loss_norm),
+            rng=jax.random.PRNGKey(7),
+        )
+
+    cl = CLBatchExtras(class_mask=jnp.ones((cfg.model.num_classes,), bool))
+    rng = np.random.default_rng(11)
+    K = 3
+    batches = [
+        {k: jnp.asarray(v)
+         for k, v in make_batch(rng, cfg.loader.batch_size, cfg).items()}
+        for _ in range(K)
+    ]
+
+    step = make_train_step(model, tx, points, cfg)
+    s1 = fresh_state()
+    for b in batches:
+        s1, m1, _ = step(s1, b, cl)
+
+    multi = make_multi_train_step(model, tx, points, cfg, K)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    s2, m2, _ = multi(fresh_state(), stacked, cl)
+
+    assert int(s2.step) == K
+    np.testing.assert_allclose(
+        float(m2["final_loss"]), float(m1["final_loss"]), rtol=1e-4
+    )
+    lead1 = jax.tree.leaves(s1.params)[0]
+    lead2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(lead1), np.asarray(lead2),
+                               atol=1e-4)

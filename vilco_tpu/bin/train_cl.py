@@ -84,13 +84,11 @@ def main(argv=None):
             train_tasks, val_tasks = make_synthetic_cl_split(rng, cfg)
             stream = TaskStream(train_tasks, val_tasks)
             src = SyntheticFeatureSource(cfg.dataset.input_dim)
+            runner = EpisodeRunner(cfg, stream, src, workdir=args.workdir)
         else:
-            stream = TaskStream.from_pkl(cfg.cl_cfg.pkl_file)
-            src = DirFeatureSource(
-                cfg.dataset.feat_folder, cfg.dataset.file_ext,
-                cfg.dataset.file_prefix,
-            )
-        runner = EpisodeRunner(cfg, stream, src, workdir=args.workdir)
+            from vilco_tpu.tasks.mq import build_mq_runner
+
+            runner = build_mq_runner(cfg, args.workdir)
     results = runner.run()
     out = os.path.join(args.workdir, "results.json")
     with open(out, "w") as f:

@@ -342,6 +342,37 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_multi_train_step(model, tx, points, cfg: Config, scan_steps: int,
+                          **flags) -> Callable:
+    """K train steps fused into ONE dispatch via `lax.scan` over pre-staged
+    batches (leading dim = scan_steps). Amortizes host->device dispatch
+    latency — essential when the host link is high-latency (the axon tunnel
+    costs ~25ms/dispatch) and a standard pattern for production TPU trainers.
+
+    Batches must be a stacked pytree; CL extras with per-batch payloads
+    (prev_logits) are not supported in the scanned path.
+    """
+    inner = make_train_step(model, tx, points, cfg, **flags)
+    # re-derive the un-jitted step body by calling the factory's closure:
+    # jax.jit wraps it, and jit-of-scan-of-jit is fine (inner jit is inlined
+    # during tracing).
+
+    def multi(state: TrainState, batches: dict, cl: CLBatchExtras):
+        def body(carry, batch):
+            st, bank, ptr = carry
+            cl_t = cl.replace(memory_bank=bank, memory_ptr=ptr)
+            st, metrics, (bank, ptr) = inner(st, batch, cl_t)
+            return (st, bank, ptr), metrics
+
+        (state, bank, ptr), metrics = jax.lax.scan(
+            body, (state, cl.memory_bank, cl.memory_ptr), batches
+        )
+        last = jax.tree.map(lambda m: m[-1], metrics)
+        return state, last, (bank, ptr)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def _extract_adapters(params):
     """Subtree pytree of adapter params only (paths containing 'adapter')."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
