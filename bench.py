@@ -85,10 +85,15 @@ def main():
     except RuntimeError:
         cpu = jax.devices()[0]
     accel = jax.devices()[0]
+    # init with a fused-off twin (identical param tree; Pallas kernels hold
+    # no params and can't trace on the CPU init device)
+    init_model = PointTransformer(
+        cfg.model.updated(fused_attention=False), cfg.cl_cfg
+    )
     with jax.default_device(cpu):
         feats0 = jnp.asarray(batch_np["feats"])
         mask0 = jnp.asarray(batch_np["mask"])
-        params = model.init(
+        params = init_model.init(
             jax.random.PRNGKey(0), feats0, mask0, deterministic=True,
         )["params"]
     params = jax.device_put(params, accel)

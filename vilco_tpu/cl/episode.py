@@ -134,22 +134,41 @@ class EpisodeRunner:
         cfg = self.cfg
         ds = cfg.dataset
         B, T = cfg.loader.batch_size, ds.max_seq_len
-        feats = jnp.zeros((B, T, ds.input_dim), jnp.float32)
-        mask = jnp.ones((B, T), bool)
         kw = {}
         if ds.use_text:
-            kw["text"] = jnp.zeros((B, ds.max_text_len, cfg.model.n_txt_in))
-            kw["text_mask"] = jnp.ones((B, ds.max_text_len), bool)
-        if cfg.cl_cfg.narration_ssl:
-            kw["narration"] = jnp.zeros(
-                (B, ds.max_narration_len, cfg.cl_cfg.narration_dim)
+            kw["text"] = np.zeros(
+                (B, ds.max_text_len, cfg.model.n_txt_in), np.float32
             )
-            kw["narration_mask"] = jnp.ones((B, ds.max_narration_len), bool)
-        variables = self.model.init(
-            jax.random.PRNGKey(cfg.init_rand_seed), feats, mask,
-            deterministic=True, **kw,
+            kw["text_mask"] = np.ones((B, ds.max_text_len), bool)
+        if cfg.cl_cfg.narration_ssl:
+            kw["narration"] = np.zeros(
+                (B, ds.max_narration_len, cfg.cl_cfg.narration_dim),
+                np.float32,
+            )
+            kw["narration_mask"] = np.ones((B, ds.max_narration_len), bool)
+        # init on the CPU with a fused-off twin (identical param tree): the
+        # init graph alone remote-compiles for minutes on the TPU tunnel,
+        # and Pallas kernels can't trace on the CPU device
+        init_model = PointTransformer(
+            cfg.model.updated(fused_attention=False), cfg.cl_cfg
         )
-        return variables["params"]
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        def do_init():
+            return init_model.init(
+                jax.random.PRNGKey(cfg.init_rand_seed),
+                jnp.zeros((B, T, ds.input_dim), jnp.float32),
+                jnp.ones((B, T), bool),
+                deterministic=True,
+                **{k: jnp.asarray(v) for k, v in kw.items()},
+            )["params"]
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                params = do_init()
+            return jax.device_put(params, jax.devices()[0])
+        return do_init()
 
     def _make_dataset(self, videos, is_training):
         return ClipDataset(

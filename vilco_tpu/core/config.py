@@ -204,6 +204,8 @@ class ModelConfig(_Base):
     t_c_alpha: float = 0.8
     # numerics
     compute_dtype: str = "bfloat16"
+    # Pallas fused attention kernels (auto-disabled off-TPU)
+    fused_attention: bool = True
     # cross-modal levels: branch levels excluded from text cross-attention
     # (reference hardcodes [1, 2]; MQ/libs/modeling/backbones.py:280-283)
     cross_modal_skip_levels: Tuple[int, ...] = (1, 2)

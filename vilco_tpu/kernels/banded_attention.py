@@ -49,7 +49,7 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, w: int, block_q: int):
     start = i * block_q
     k = k_ref[0, pl.ds(start, span), :]            # (span, D)
     v = v_ref[0, pl.ds(start, span), :]
-    m = m_ref[0, pl.ds(start, span)]               # (span,)
+    m = m_ref[0, 0, pl.ds(start, span)]            # (span,)
 
     scale = 1.0 / (q.shape[-1] ** 0.5)
     s = jax.lax.dot_general(
@@ -89,7 +89,7 @@ def _forward(q, k, v, kv_mask, window: int, block_q: int, interpret: bool):
     kp = jnp.pad(kf, pad)
     vp = jnp.pad(vf, pad)
     mp = jnp.pad(kv_mask.astype(jnp.int32), [(0, 0), (w, w)])
-    mp = jnp.repeat(mp, H, axis=0)                 # (B*H, T+2w)
+    mp = jnp.repeat(mp, H, axis=0)[:, None, :]     # (B*H, 1, T+2w)
 
     grid = (B * H, T // BQ)
     out = pl.pallas_call(
@@ -102,7 +102,7 @@ def _forward(q, k, v, kv_mask, window: int, block_q: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T + 2 * w, D), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T + 2 * w), lambda bh, i: (bh, 0),
+            pl.BlockSpec((1, 1, T + 2 * w), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BQ, D), lambda bh, i: (bh, i, 0),

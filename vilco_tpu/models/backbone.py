@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -29,6 +30,12 @@ from vilco_tpu.models.layers import (
     XLRelAttention,
 )
 from vilco_tpu.ops.masked import sinusoid_encoding
+
+
+def _use_fused(cfg: ModelConfig) -> bool:
+    """Pallas kernels only on real TPU backends (tests run CPU interpret
+    paths explicitly)."""
+    return bool(cfg.fused_attention) and jax.default_backend() == "tpu"
 
 
 class ConvTransformerBackbone(nn.Module):
@@ -86,7 +93,7 @@ class ConvTransformerBackbone(nn.Module):
                     E, cfg.n_head,
                     proj_drop=cfg.dropout, path_drop=cfg.droppath,
                     t_c_alpha=cfg.t_c_alpha, use_cross_modal=False,
-                    window=cfg.n_mha_win_size, name=f"txt_stem_{i}",
+                    window=cfg.n_mha_win_size, use_fused=_use_fused(cfg), name=f"txt_stem_{i}",
                 )(src_query, src_query_mask, deterministic=deterministic)
 
         # stem
@@ -95,7 +102,7 @@ class ConvTransformerBackbone(nn.Module):
                 E, cfg.n_head,
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
-                window=cfg.n_mha_win_size, name=f"stem_{i}",
+                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg), name=f"stem_{i}",
             )(x, mask, deterministic=deterministic)
 
         out_feats = [x]
@@ -114,7 +121,7 @@ class ConvTransformerBackbone(nn.Module):
                 E, cfg.n_head,
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
-                window=cfg.n_mha_win_size, name="pre_branch",
+                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg), name="pre_branch",
             )(x, mask, deterministic=deterministic)
 
         t_cur = T
@@ -126,7 +133,7 @@ class ConvTransformerBackbone(nn.Module):
                 E, cfg.n_head, n_ds_stride=cfg.scale_factor,
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cross,
-                window=cfg.n_mha_win_size,
+                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg),
                 adapter_t_in=t_cur if i in self.adapt_blocks else 0,
                 name=f"branch_{i}",
             )(
@@ -169,7 +176,8 @@ class DualTowerBackbone(nn.Module):
             E, cfg.n_head, n_ds_stride=stride,
             proj_drop=cfg.dropout, path_drop=cfg.droppath,
             use_cross_modal=cross, use_channel_attn=False,
-            window=win, adapter_t_in=t_in, name=name,
+            window=win, use_fused=_use_fused(cfg),
+            adapter_t_in=t_in, name=name,
         )
 
         for i in range(n_convs):
@@ -199,7 +207,7 @@ class DualTowerBackbone(nn.Module):
             text, text_mask = TransformerBlock(
                 E, cfg.n_head, proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 use_cross_modal=False, use_channel_attn=False, window=-1,
-                name=f"txt_stem_{i}",
+                use_fused=_use_fused(cfg), name=f"txt_stem_{i}",
             )(text, text_mask, deterministic=deterministic)
 
         for i in range(n_vid_stem):

@@ -109,6 +109,7 @@ class MaskedMHA(nn.Module):
     n_embd: int
     n_head: int
     proj_drop: float = 0.0
+    use_fused: bool = False   # Pallas fused attention (TPU)
 
     @nn.compact
     def __call__(self, x, mask, enc=None, enc_mask=None, deterministic=True):
@@ -127,12 +128,16 @@ class MaskedMHA(nn.Module):
             kv_mask = mask
         B, Tq = q.shape[:2]
         Tk = k.shape[1]
-        out = masked_attention(
-            q.reshape(B, Tq, H, D),
-            k.reshape(B, Tk, H, D),
-            v.reshape(B, Tk, H, D),
-            kv_mask,
-        ).reshape(B, Tq, self.n_embd)
+        q4 = q.reshape(B, Tq, H, D)
+        k4 = k.reshape(B, Tk, H, D)
+        v4 = v.reshape(B, Tk, H, D)
+        if self.use_fused:
+            from vilco_tpu.kernels.attention import fused_attention
+
+            out = fused_attention(q4, k4, v4, kv_mask)
+        else:
+            out = masked_attention(q4, k4, v4, kv_mask)
+        out = out.reshape(B, Tq, self.n_embd)
         out = dense("proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out * mask[..., None].astype(out.dtype), mask
@@ -151,6 +156,7 @@ class MaskedMHCA(nn.Module):
     n_kv_stride: int = 1
     window: int = -1          # half-window for banded attention; <=0 dense
     proj_drop: float = 0.0
+    use_fused: bool = False   # Pallas fused kernels (TPU)
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
@@ -180,7 +186,19 @@ class MaskedMHCA(nn.Module):
         k = k.reshape(B, Tk, H, D)
         v = v.reshape(B, Tk, H, D)
         if self.window > 0 and Tq == Tk:
-            out = banded_attention(q, k, v, kv_mask, window=self.window)
+            if self.use_fused:
+                from vilco_tpu.kernels.banded_attention import (
+                    banded_attention_fused,
+                )
+
+                out = banded_attention_fused(q, k, v, kv_mask, self.window)
+            else:
+                out = banded_attention(q, k, v, kv_mask, window=self.window)
+        elif self.use_fused:
+            from vilco_tpu.kernels.attention import fused_attention
+
+            # invalid query rows are zeroed by the qx_mask multiply below
+            out = fused_attention(q, k, v, kv_mask)
         else:
             out = masked_attention(q, k, v, kv_mask)
         out = out.reshape(B, Tq, E)
@@ -269,6 +287,7 @@ class TransformerBlock(nn.Module):
     window: int = -1
     use_cross_modal: bool = False
     use_channel_attn: bool = True
+    use_fused: bool = False    # Pallas fused attention kernels (TPU)
     adapter_t_in: int = 0      # >0: attach TimeAdapter with this input length
 
     @nn.compact
@@ -280,7 +299,7 @@ class TransformerBlock(nn.Module):
         ln1 = LayerNormC(name="ln1")(x)
         out, out_mask = MaskedMHCA(
             E, self.n_head, n_qx_stride=s, n_kv_stride=s, window=self.window,
-            proj_drop=self.proj_drop, name="attn",
+            proj_drop=self.proj_drop, use_fused=self.use_fused, name="attn",
         )(ln1, mask, deterministic=deterministic)
 
         if self.adapter_t_in > 0:
@@ -299,7 +318,8 @@ class TransformerBlock(nn.Module):
         if self.use_cross_modal and cross_y is not None:
             ln3 = LayerNormC(name="ln3")
             cross_out, _ = MaskedMHA(
-                E, self.n_head, proj_drop=self.proj_drop, name="cross_attn",
+                E, self.n_head, proj_drop=self.proj_drop,
+                use_fused=self.use_fused, name="cross_attn",
             )(ln3(out), out_mask, enc=ln3(cross_y), enc_mask=cross_y_mask,
               deterministic=deterministic)
             out = out * out_mask_f + AffineDropPath(

@@ -35,14 +35,29 @@ def masked_conv1d(
     # in f32 internally, and an explicit f32 output breaks the conv
     # transpose rule's dtype matching under autodiff.
     k = kernel.shape[0]
-    out = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride,),
-        padding=[(k // 2, k // 2)],
-        feature_group_count=groups,
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
+    cin = x.shape[-1]
+    cout = kernel.shape[-1]
+    if groups == cin == cout and k <= 7:
+        # depthwise conv as shifted elementwise multiplies: grouped convs
+        # lower poorly on the TPU (VPU scalar loops); K shifted FMAs fuse
+        # into one VPU pass. out[t, c] = sum_k xp[t*stride + k, c] * w[k, c]
+        T = x.shape[1]
+        pad = k // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        w = kernel[:, 0, :]                       # (K, C)
+        out = None
+        for i in range(k):
+            sl = xp[:, i: i + T: stride, :] * w[i][None, None, :]
+            out = sl if out is None else out + sl
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride,),
+            padding=[(k // 2, k // 2)],
+            feature_group_count=groups,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
     if bias is not None:
         out = out + bias
     out_mask = mask[:, ::stride] if stride > 1 else mask
