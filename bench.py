@@ -46,6 +46,8 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--no-fused", action="store_true",
+                   help="disable Pallas fused attention kernels")
     p.add_argument("--scan-steps", type=int, default=8,
                    help="train steps fused per dispatch via lax.scan; "
                         "1 = plain per-step dispatch")
@@ -71,6 +73,8 @@ def main():
     from vilco_tpu.train.optim import make_optimizer
 
     cfg = _flagship_cfg(tiny=args.fast)
+    if args.no_fused:
+        cfg = cfg.updated(model=cfg.model.updated(fused_attention=False))
     if args.batch:
         cfg = cfg.updated(loader=cfg.loader.updated(batch_size=args.batch))
     B = cfg.loader.batch_size

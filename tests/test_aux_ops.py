@@ -87,3 +87,42 @@ def test_metrics_logger(tmp_path):
     recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
     assert recs[0]["loss"] == 0.5
     assert recs[1]["kind"] == "eval" and recs[1]["note"] == "x"
+
+
+def test_ensemble_predictions():
+    from vilco_tpu.ops.ensemble import ensemble_predictions, top1_cluster_merge
+
+    # distinct centers (the reference keys a dict by center; identical
+    # centers collide — a quirk we reproduce)
+    m1 = [[10.0, 20.0, 0.9], [40.0, 45.0, 0.5]]
+    m2 = [[10.5, 19.9, 0.8], [70.0, 75.0, 0.4]]
+    m3 = [[11.0, 21.0, 0.7]]
+    merged = top1_cluster_merge([m1[0], m2[0], m3[0]])
+    # all three top-1 centers within 2s -> one cluster with summed score
+    assert len(merged) == 1
+    assert np.isclose(merged[0][-1], 0.9 + 0.8 + 0.7)
+    out = ensemble_predictions([m1, m2, m3])
+    assert len(out) == 5
+    # the dominant cluster around [10, 20] must rank first
+    assert 9.0 <= out[0][0] <= 12.0 and 18.0 <= out[0][1] <= 22.0
+
+
+def test_mesh_sharding_rules():
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from vilco_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    params = {
+        "attn": {"query": {"kernel": jnp.ones((32, 32))},
+                 "proj": {"kernel": jnp.ones((32, 32))}},
+        "norm": {"weight": jnp.ones((32,))},
+    }
+    sharded = shard_params(params, mesh)
+    assert sharded["attn"]["query"]["kernel"].sharding.spec == P(None, "model")
+    assert sharded["attn"]["proj"]["kernel"].sharding.spec == P("model", None)
+    batch = {"feats": jnp.ones((8, 16, 4))}
+    sb = shard_batch(batch, mesh)
+    assert sb["feats"].sharding.spec == P("data", None, None)

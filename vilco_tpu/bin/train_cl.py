@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--task", default=None, help="mq | nlq (default from config)")
     p.add_argument("--num-tasks", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--joint", action="store_true",
+                   help="merge all tasks into one (the reference's non-CL "
+                        "train.py upper bound)")
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
 
     logging.basicConfig(
@@ -89,7 +93,13 @@ def main(argv=None):
             from vilco_tpu.tasks.mq import build_mq_runner
 
             runner = build_mq_runner(cfg, args.workdir)
-    results = runner.run()
+        if args.joint:
+            # non-CL joint training (reference MQ/train.py upper bound)
+            from vilco_tpu.cl.stream import merge_tasks
+
+            runner.stream = merge_tasks(runner.stream)
+            runner._setup_eval()
+    results = runner.run(resume=args.resume)
     out = os.path.join(args.workdir, "results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)

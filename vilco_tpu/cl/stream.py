@@ -143,3 +143,19 @@ class TaskStream:
         """m = memory_size // #classes in the (grown) head
         (MQ/train_cl.py:343-349)."""
         return memory_size // max(n_classes_seen, 1)
+
+
+def merge_tasks(stream: TaskStream) -> TaskStream:
+    """Collapse every sub-task into ONE joint task — the reference's non-CL
+    upper-bound run (MQ/train.py trains all 110 classes jointly)."""
+
+    def merge(tasks: Dict[int, dict]) -> Dict[int, dict]:
+        label_dict: Dict[str, int] = {}
+        dict_db: List[dict] = []
+        for k in sorted(tasks):
+            label_dict.update(tasks[k]["label_dict"])
+            dict_db.extend(tasks[k]["dict_db"])
+        return {0: {"label_dict": label_dict,
+                    "dict_db": _dedup_by_id(dict_db)}}
+
+    return TaskStream(merge(stream.train_tasks), merge(stream.val_tasks))

@@ -132,6 +132,7 @@ class ClipDataset:
         self.text_source = text_source
         self.narration_source = narration_source
         self.is_training = is_training
+        self._jitter_rng = np.random.default_rng(cfg.init_rand_seed + 7451)
 
     def __len__(self):
         return len(self.videos)
@@ -162,6 +163,20 @@ class ClipDataset:
         # seconds -> grid coords (ego4d.py:729-733; NLQ omits the centering
         # offset, ego4d_loader.py:180-186)
         segs_raw = np.asarray(v.get("segments"), np.float32)
+        if (self.is_training and ds.enable_temporal_jittering
+                and segs_raw is not None and segs_raw.size):
+            # NLQ temporal jittering (ego4d_loader.py:168-179): random
+            # scale in [1, 10] and center shift within the grown window
+            segs_raw = segs_raw.copy()
+            for i, (s, e) in enumerate(segs_raw):
+                dur = e - s
+                center = (s + e) / 2.0
+                scale = float(self._jitter_rng.integers(1, 11))
+                shift = float(self._jitter_rng.uniform(-1, 1)) * (
+                    scale - 1.0
+                ) * dur / 2.0
+                c = center - shift
+                segs_raw[i] = [c - scale * dur / 2.0, c + scale * dur / 2.0]
         if segs_raw is None or segs_raw.size == 0:
             segs = np.zeros((0, 2), np.float32)
             labels = np.zeros((0,), np.int64)
