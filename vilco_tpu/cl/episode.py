@@ -279,6 +279,7 @@ class EpisodeRunner:
         t0 = time.time()
         n_steps = 0
         last_metrics = {}
+        best_score, best_params = -1.0, None
         for epoch in range(cfg.opt.epochs):
             loader.set_epoch(epoch)
             for batch, meta in loader:
@@ -326,9 +327,30 @@ class EpisodeRunner:
             )
             self.metrics_log.log("train_epoch", step=int(state.step),
                                  task=j, epoch=epoch, **last_metrics)
+
+            # per-task best-checkpoint tracking (MQ/train_cl.py:283-315)
+            if (cfg.opt.track_best
+                    and epoch + 1 >= cfg.opt.epochs * cfg.opt.eval_start_ratio
+                    and epoch + 1 < cfg.opt.epochs):
+                self.params = state.params
+                self._adapter_ema = state.adapter_ema
+                score = self.evaluate(j, update_bwf=False)["avg_R1@0.5"]
+                if score > best_score:
+                    best_score = score
+                    best_params = jax.tree.map(np.asarray, state.params)
+                    log.info("task %d epoch %d: new best R1@0.5=%.4f",
+                             j, epoch, score)
         wall = time.time() - t0
         self.params = state.params
         self._adapter_ema = state.adapter_ema
+        if best_params is not None:
+            final_score = self.evaluate(j, update_bwf=False)["avg_R1@0.5"]
+            if best_score > final_score:
+                # restore the best epoch (load_best_checkpoint,
+                # MQ/train_cl.py:363)
+                self.params = jax.tree.map(jnp.asarray, best_params)
+                log.info("task %d: restored best epoch (%.4f > %.4f)",
+                         j, best_score, final_score)
 
         if self.bic is not None and heldout:
             self._bic_stage2(j, heldout, class_mask, state.loss_normalizer)
@@ -473,7 +495,7 @@ class EpisodeRunner:
                 }
         return preds
 
-    def evaluate(self, j: int) -> Dict:
+    def evaluate(self, j: int, update_bwf: bool = True) -> Dict:
         """Cumulative per-task eval + BwF (final_validate,
         MQ/libs/utils/train_utils.py:1176-1349)."""
         if self.method == "icarl" and self.memory.n_known > 0:
@@ -541,8 +563,11 @@ class EpisodeRunner:
                 "R1@0.5": float(rec_matrix[4, 0]),
                 "R5@0.5": float(rec_matrix[4, 1]),
             })
-        bwf_r = self.bwf_recall.update(j, per_task_r1, weights)
-        bwf_m = self.bwf_map.update(j, per_task_map, weights)
+        if update_bwf:
+            bwf_r = self.bwf_recall.update(j, per_task_r1, weights)
+            bwf_m = self.bwf_map.update(j, per_task_map, weights)
+        else:
+            bwf_r, bwf_m = 0.0, 0.0
         avg = lambda key: float(np.average(
             [t[key] for t in per_task],
             weights=[weights[t["task"]] for t in per_task],

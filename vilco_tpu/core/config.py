@@ -204,8 +204,11 @@ class ModelConfig(_Base):
     t_c_alpha: float = 0.8
     # numerics
     compute_dtype: str = "bfloat16"
-    # Pallas fused attention kernels (auto-disabled off-TPU)
-    fused_attention: bool = True
+    # Pallas fused attention kernels (opt-in; measured slower than XLA's
+    # batched attention at the flagship shape — 41 vs 32 ms/step — because
+    # D=64 contractions underfill the MXU when issued per-(batch, head);
+    # auto-disabled off-TPU)
+    fused_attention: bool = False
     # cross-modal levels: branch levels excluded from text cross-attention
     # (reference hardcodes [1, 2]; MQ/libs/modeling/backbones.py:280-283)
     cross_modal_skip_levels: Tuple[int, ...] = (1, 2)
@@ -260,6 +263,11 @@ class OptCfg(_Base):
     schedule_steps: Tuple[int, ...] = ()
     schedule_gamma: float = 0.1
     eta_min: float = 1e-8
+    # per-task best-checkpoint selection: evaluate every epoch once
+    # epoch >= epochs * eval_start_ratio and restore the best before the
+    # final per-task validation (MQ/train_cl.py:283-315, 363)
+    track_best: bool = False
+    eval_start_ratio: float = 0.33
     ema_decay: float = 0.0          # model EMA (train_utils.py ModelEma); 0 = off
 
 

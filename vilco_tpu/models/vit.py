@@ -77,3 +77,56 @@ class ViT(nn.Module):
             x = ViTBlock(self.dim, self.num_heads, name=f"block_{i}")(x)
         x = nn.LayerNorm(name="norm", dtype=x.dtype)(x)
         return x[:, 1:].reshape(B, hh, ww, self.dim)
+
+
+def load_torch_vit_checkpoint(params, ckpt_path: str):
+    """Import DINO / DINOv2 / MAE ViT weights from a torch checkpoint into
+    this module's param tree (build_backbone parity,
+    VQ/model/corr_clip...py:110-134 — the reference torch.hub-loads these;
+    in the zero-egress environment the file must exist locally).
+
+    Handles the standard timm/DINO naming: patch_embed.proj, cls_token,
+    pos_embed, blocks.N.{norm1, attn.qkv, attn.proj, norm2, mlp.fc1,
+    mlp.fc2}, norm. Returns a new param tree; raises on missing keys.
+    """
+    import numpy as np
+    import torch
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    import copy
+
+    out = copy.deepcopy(jax.tree.map(np.asarray, params))
+
+    def put(dst, key, val):
+        assert dst[key].shape == val.shape, (key, dst[key].shape, val.shape)
+        dst[key] = val.astype(np.float32)
+
+    # patch embed: torch (out, in, kh, kw) -> flax (kh, kw, in, out)
+    put(out["patch_embed"], "kernel",
+        sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    put(out["patch_embed"], "bias", sd["patch_embed.proj.bias"])
+    put(out, "cls_token", sd["cls_token"])
+    put(out, "pos_embed", sd["pos_embed"])
+    n_blocks = sum(1 for k in out if k.startswith("block_"))
+    for i in range(n_blocks):
+        b = out[f"block_{i}"]
+        p = f"blocks.{i}."
+        put(b["norm1"], "scale", sd[p + "norm1.weight"])
+        put(b["norm1"], "bias", sd[p + "norm1.bias"])
+        put(b["qkv"], "kernel", sd[p + "attn.qkv.weight"].T)
+        put(b["qkv"], "bias", sd[p + "attn.qkv.bias"])
+        put(b["proj"], "kernel", sd[p + "attn.proj.weight"].T)
+        put(b["proj"], "bias", sd[p + "attn.proj.bias"])
+        put(b["norm2"], "scale", sd[p + "norm2.weight"])
+        put(b["norm2"], "bias", sd[p + "norm2.bias"])
+        put(b["fc1"], "kernel", sd[p + "mlp.fc1.weight"].T)
+        put(b["fc1"], "bias", sd[p + "mlp.fc1.bias"])
+        put(b["fc2"], "kernel", sd[p + "mlp.fc2.weight"].T)
+        put(b["fc2"], "bias", sd[p + "mlp.fc2.bias"])
+    put(out["norm"], "scale", sd["norm.weight"])
+    put(out["norm"], "bias", sd["norm.bias"])
+    return jax.tree.map(jnp.asarray, out)

@@ -119,7 +119,7 @@ class NLQEpisodeRunner(EpisodeRunner):
 
         return jnp.ones((self.num_classes,), bool)
 
-    def evaluate(self, j: int) -> Dict:
+    def evaluate(self, j: int, update_bwf: bool = True) -> Dict:
         class_mask = self._class_mask(j)
         per_task = []
         per_task_r1_03 = {}
@@ -151,7 +151,8 @@ class NLQEpisodeRunner(EpisodeRunner):
                 # keep keys the base runner's callers read
                 "avg_mAP": float(res.mean()),
             })
-        bwf = self.bwf_r1.update(j, per_task_r1_03, weights)
+        bwf = (self.bwf_r1.update(j, per_task_r1_03, weights)
+               if update_bwf else 0.0)
         avg = lambda key: float(np.average(
             [t[key] for t in per_task],
             weights=[weights[t["task"]] for t in per_task],
