@@ -221,3 +221,19 @@ def test_multi_step_scan_matches_sequential():
     lead2 = jax.tree.leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(lead1), np.asarray(lead2),
                                atol=1e-4)
+
+
+def test_conv_backbone_variant():
+    """backbone_type='conv' (reference ConvBackbone, backbones.py:325-411)."""
+    cfg = tiny_config(model={"backbone_type": "conv"})
+    model, params, batch = build(cfg)
+    out = model.apply(
+        {"params": params}, jnp.asarray(batch["feats"]),
+        jnp.asarray(batch["mask"]), deterministic=True,
+    )
+    P = sum(level_lengths(cfg.model))
+    assert out["cls_logits"].shape == (cfg.loader.batch_size, P,
+                                       cfg.model.num_classes)
+    assert "backbone" in params and any(
+        k.startswith("branch_") for k in params["backbone"]
+    )

@@ -149,6 +149,68 @@ class ConvTransformerBackbone(nn.Module):
         return out_feats, out_masks
 
 
+class ConvBlock(nn.Module):
+    """ResNet-style basic block with masked convs (blocks.py:1209-1258):
+    conv(k, stride) -> relu -> conv(k, 1) + (1x1 strided) residual -> relu."""
+
+    n_embd: int
+    kernel_size: int = 3
+    n_ds_stride: int = 1
+    expansion_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x, mask):
+        width = self.n_embd * self.expansion_factor
+        out, out_mask = MaskedConv(
+            width, self.kernel_size, stride=self.n_ds_stride, name="conv1"
+        )(x, mask)
+        out = nn.relu(out)
+        out, out_mask = MaskedConv(
+            self.n_embd, self.kernel_size, name="conv2"
+        )(out, out_mask)
+        if self.n_ds_stride > 1:
+            identity, _ = MaskedConv(
+                self.n_embd, 1, stride=self.n_ds_stride, name="downsample"
+            )(x, mask)
+        else:
+            identity = x
+        return nn.relu(out + identity), out_mask
+
+
+class ConvBackbone(nn.Module):
+    """Pure-conv pyramid backbone (backbone_type='conv',
+    MQ/libs/modeling/backbones.py:325-411): conv embed -> stem ConvBlocks ->
+    stride-2 ConvBlock branch."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, mask, text=None, text_mask=None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        E = cfg.embd_dim
+        n_convs, n_stem, n_branch = (
+            cfg.backbone_arch[0], cfg.backbone_arch[1], cfg.backbone_arch[-1]
+        )
+        for i in range(n_convs):
+            x, mask = MaskedConv(
+                E, cfg.embd_kernel_size, use_bias=not cfg.embd_with_ln,
+                name=f"embd_{i}",
+            )(x, mask)
+            if cfg.embd_with_ln:
+                x = LayerNormC(name=f"embd_norm_{i}")(x)
+            x = nn.relu(x)
+        for i in range(n_stem):
+            x, mask = ConvBlock(E, 3, 1, name=f"stem_{i}")(x, mask)
+        out_feats, out_masks = [x], [mask]
+        for i in range(n_branch):
+            x, mask = ConvBlock(E, 3, cfg.scale_factor,
+                                name=f"branch_{i}")(x, mask)
+            out_feats.append(x)
+            out_masks.append(mask)
+        return out_feats, out_masks
+
+
 class DualTowerBackbone(nn.Module):
     """NLQ dual-tower backbone (NLQ/libs/modeling/backbones.py:409-614):
 

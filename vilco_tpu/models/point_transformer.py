@@ -31,7 +31,11 @@ import flax.linen as nn
 
 from vilco_tpu.core.config import CLCfg, ModelConfig
 from vilco_tpu.cl.prompt import PromptPool, l2_normalize
-from vilco_tpu.models.backbone import ConvTransformerBackbone, DualTowerBackbone
+from vilco_tpu.models.backbone import (
+    ConvBackbone,
+    ConvTransformerBackbone,
+    DualTowerBackbone,
+)
 from vilco_tpu.models.layers import LayerNormC, MaskedConv, Scale
 from vilco_tpu.ops.masked import masked_mean
 
@@ -201,6 +205,10 @@ class PointTransformer(nn.Module):
             bb_feats, bb_masks = DualTowerBackbone(
                 cfg, adapt_blocks=adapt, name="backbone",
             )(feats, mask, text, text_mask, deterministic=deterministic)
+        elif cfg.backbone_type == "conv":
+            bb_feats, bb_masks = ConvBackbone(cfg, name="backbone")(
+                feats, mask, deterministic=deterministic
+            )
         else:
             bb_feats, bb_masks = ConvTransformerBackbone(
                 cfg, adapt_blocks=adapt, name="backbone",
