@@ -139,3 +139,44 @@ def test_episode_best_checkpoint_tracking(tmp_path):
     assert np.isfinite(res["avg_mAP"])
     # epoch evals must not have polluted the BwF history
     assert list(runner.bwf_recall.recorded) == [0]
+
+
+@pytest.mark.slow
+def test_episode_vilco_full_method(tmp_path):
+    """The full ViLCo recipe end-to-end: rehearsal memory + L2P prompts on
+    text + narration-SSL memory bank + EMA time-adapters."""
+    cfg, stream, src = small_setup(
+        "l2p", memory_size=12, prompt_pool=True, pool_size=6, topk=2,
+        length=3, embed_dim=12, narration_ssl=True, narration_dim=8,
+        ssl_factor=0.05, use_adapt=True, adapt_blocks=(0, 1),
+    )
+    cfg = cfg.updated(
+        dataset=cfg.dataset.updated(use_text=True, use_narration=True),
+        model=cfg.model.updated(use_cross_modal=True, n_txt_in=12),
+        opt=cfg.opt.updated(epochs=3),
+    )
+    rng = np.random.default_rng(1)
+
+    def text_source(video):
+        import hashlib
+        seed = int(hashlib.md5(video["id"].encode()).hexdigest()[:8], 16)
+        r = np.random.default_rng(seed)
+        return r.standard_normal((6, 12)).astype(np.float32)
+
+    def narration_source(video):
+        return np.random.default_rng(0).standard_normal((4, 8)).astype(
+            np.float32
+        )
+
+    runner = EpisodeRunner(cfg, stream, src, workdir=str(tmp_path),
+                           text_source=text_source,
+                           narration_source=narration_source)
+    bank0 = np.asarray(runner.memory_bank).copy()
+    results = runner.run()
+    assert len(results["tasks"]) == 3
+    # the SSL memory bank was written (ptr may wrap exactly to 0 mod size)
+    assert not np.allclose(np.asarray(runner.memory_bank), bank0)
+    # prompts live in the param tree
+    assert "prompt" in runner.params
+    m = results["tasks"][-1]["train"]["last_metrics"]
+    assert "ssl_loss" in m and "reduce_sim" in m
