@@ -94,3 +94,64 @@ def test_channel_attention_matches_torch(rng):
     ref = (att @ q.transpose(-1, -2)).transpose(-1, -2)  # (B, H, T, Dh)
     ref = ref.permute(0, 2, 1, 3).numpy()
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_xl_rel_attention_matches_bruteforce(rng):
+    """XLRelAttention == an O(T^2) loop transcription of Transformer-XL's
+    single-stream bi relative attention (modeling_xlnet_x.py:210+)."""
+    import flax.linen as nn
+    from vilco_tpu.models.layers import XLRelAttention
+
+    B, T, C, H = 1, 8, 8, 2
+    D = C // H
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    mask = np.ones((B, T), bool)
+    mask[0, 6:] = False
+    m = XLRelAttention(C, H, 16, dropout=0.0)
+    params = m.init(__import__("jax").random.PRNGKey(0), jnp.asarray(x),
+                    jnp.asarray(mask))["params"]
+    out = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(mask))
+
+    # brute force
+    import jax as _jax
+    p = _jax.tree.map(np.asarray, params)
+    q = np.einsum("btc,chd->bthd", x, p["q"])
+    k = np.einsum("btc,chd->bthd", x, p["k"])
+    v = np.einsum("btc,chd->bthd", x, p["v"])
+    pos_seq = np.arange(T, -T, -1.0)
+    inv = 1.0 / (10000.0 ** (np.arange(0, C, 2.0) / C))
+    si = pos_seq[:, None] * inv[None, :]
+    pos_emb = np.concatenate([np.sin(si), np.cos(si)], -1)
+    r = np.einsum("tc,chd->thd", pos_emb, p["r"])
+
+    att = np.zeros((B, H, T, T))
+    for qq in range(T):
+        for kk in range(T):
+            ac = ((q[0, qq] + p["r_w_bias"]) * k[0, kk]).sum(-1)
+            # relative position q-k -> r index T - (q-k) = T + k - q
+            bd = ((q[0, qq] + p["r_r_bias"]) * r[T + kk - qq]).sum(-1)
+            att[0, :, qq, kk] = (ac + bd) / np.sqrt(D)
+    att = np.where(mask[0][None, None, None, :], att, -1e9)
+    att = att - att.max(-1, keepdims=True)
+    e = np.exp(att)
+    w = e / e.sum(-1, keepdims=True)
+    vm = v[0] * mask[0][:, None, None]
+    o = np.einsum("hqk,khd->qhd", w[0], vm)
+    o = np.einsum("qhd,chd->qc", o, p["o"])
+    ref = x[0] + o
+    mu = ref.mean(-1, keepdims=True)
+    var = ref.var(-1, keepdims=True)
+    ref_ln = ((ref - mu) / np.sqrt(var + 1e-6) * p["ln_attn"]["scale"]
+              + p["ln_attn"]["bias"])
+    # compare the attention sub-layer output (pre-FF): recompute the FF from
+    # params and match the module's final output
+    h = ref_ln @ p["ff1"]["kernel"] + p["ff1"]["bias"]
+    h = 0.5 * h * (1 + np.tanh(np.sqrt(2 / np.pi) * (h + 0.044715 * h ** 3)))
+    h = h @ p["ff2"]["kernel"] + p["ff2"]["bias"]
+    f = ref_ln + h
+    mu = f.mean(-1, keepdims=True)
+    var = f.var(-1, keepdims=True)
+    f = ((f - mu) / np.sqrt(var + 1e-6) * p["ln_ff"]["scale"]
+         + p["ln_ff"]["bias"])
+    f = f * mask[0][:, None]
+    np.testing.assert_allclose(np.asarray(out)[0], f, atol=2e-3, rtol=1e-2)
