@@ -237,3 +237,36 @@ def test_conv_backbone_variant():
     assert "backbone" in params and any(
         k.startswith("branch_") for k in params["backbone"]
     )
+
+
+def test_full_model_ema():
+    """opt.ema_decay > 0 maintains a full-model EMA (ModelEma,
+    MQ/libs/utils/train_utils.py:247-277)."""
+    cfg = tiny_config(opt={"ema_decay": 0.9})
+    model, params, batch = build(cfg)
+    tx, _ = make_optimizer(cfg.opt, params, steps_per_epoch=10)
+    points = jnp.asarray(generate_points(
+        level_lengths(cfg.model), cfg.model.fpn_strides,
+        cfg.model.regression_range,
+    ))
+    ema0 = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params),
+        loss_normalizer=jnp.asarray(cfg.train_cfg.init_loss_norm),
+        rng=jax.random.PRNGKey(1),
+        ema_params=ema0,
+    )
+    step = make_train_step(model, tx, points, cfg)
+    cl = CLBatchExtras(class_mask=jnp.ones((cfg.model.num_classes,), bool))
+    b = _to_jnp(batch)
+    before = [np.asarray(x).copy() for x in jax.tree.leaves(ema0)]
+    state, _, _ = step(state, b, cl)
+    state, _, _ = step(state, b, cl)
+    ema = [np.asarray(x) for x in jax.tree.leaves(state.ema_params)]
+    live = [np.asarray(x) for x in jax.tree.leaves(state.params)]
+    moved = max(np.abs(e - b).max() for e, b in zip(ema, before))
+    lag = max(np.abs(e - l).max() for e, l in zip(ema, live))
+    # EMA moved, but lags the live params
+    assert moved > 1e-5, moved
+    assert lag > 1e-5, lag

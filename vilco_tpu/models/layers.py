@@ -395,16 +395,13 @@ class XLRelAttention(nn.Module):
 
         ac = jnp.einsum("bqhd,bkhd->bhqk", q + r_w_bias[None, None], k)
         bd = jnp.einsum("bqhd,khd->bhqk", q + r_r_bias[None, None], r)
-        # rel shift (rel_shift_bnij, modeling_xlnet_x.py:264-276) as ONE
-        # gather: shifted[q, k] = bd[q, T + k - q] — the reference's
-        # reshape-slice-reshape dance makes two full copies of the
-        # (B, H, T, 2T) tensor, which dominates the XL stage's HBM traffic
-        qi = jnp.arange(T)[:, None]
-        ki = jnp.arange(T)[None, :]
-        gather_idx = (T + ki - qi)[None, None]        # (1, 1, T, T)
-        bd = jnp.take_along_axis(
-            bd, jnp.broadcast_to(gather_idx, (B, H, T, T)), axis=-1
-        )
+        # rel shift (rel_shift_bnij, modeling_xlnet_x.py:264-276):
+        # shifted[q, k] = bd[q, T + k - q]. The reshape-slice-reshape form
+        # is the TPU-friendly one — an equivalent take_along_axis gather
+        # measured ~100x slower (per-element gathers don't vectorize on the
+        # VPU lanes).
+        bd = bd.reshape(B, H, 2 * T, T)[:, :, 1:, :]
+        bd = bd.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
 
         att = (ac + bd) * scale
         att = jnp.where(mask[:, None, None, :], att, -1e9)
