@@ -49,6 +49,7 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--model", choices=["mq", "nlq"], default="mq")
     p.add_argument("--no-fused", action="store_true",
                    help="disable Pallas fused attention kernels")
     p.add_argument("--scan-steps", type=int, default=4,
@@ -60,7 +61,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_cfg
+    from __graft_entry__ import _flagship_cfg, _nlq_flagship_cfg
     from vilco_tpu.data.synthetic import make_batch
     from vilco_tpu.models.point_transformer import (
         PointTransformer,
@@ -75,7 +76,8 @@ def main():
     )
     from vilco_tpu.train.optim import make_optimizer
 
-    cfg = _flagship_cfg(tiny=args.fast)
+    cfg = (_nlq_flagship_cfg() if args.model == "nlq"
+           else _flagship_cfg(tiny=args.fast))
     if args.no_fused:
         cfg = cfg.updated(model=cfg.model.updated(fused_attention=False))
     if args.batch and not args.fast:
@@ -163,7 +165,7 @@ def main():
     n_chips = jax.device_count()
     value = clips_per_s / n_chips
     print(json.dumps({
-        "metric": "mq_flagship_train_throughput",
+        "metric": f"{args.model}_flagship_train_throughput",
         "value": round(value, 3),
         "unit": "clips/s/chip",
         "vs_baseline": round(value / REFERENCE_GPU_CLIPS_PER_S_ESTIMATE, 3),

@@ -597,6 +597,8 @@ class EpisodeRunner:
         self.params = jax.tree.map(jnp.asarray, tree["params"])
         if tree.get("memory_bank") is not None:
             self.memory_bank = jnp.asarray(tree["memory_bank"])
+            self.memory_ptr = jnp.asarray(tree.get("memory_ptr", 0),
+                                          jnp.int32)
         if tree.get("reg_list"):
             self.reg_list = tree["reg_list"]
         if tree.get("bwf_recall"):
@@ -662,6 +664,7 @@ class EpisodeRunner:
                     "task": j,
                     "n_known": n_known,
                     "memory_bank": self.memory_bank,
+                    "memory_ptr": int(self.memory_ptr),
                     "reg_list": self.reg_list,
                     "bwf_recall": self.bwf_recall.recorded,
                     "bwf_map": self.bwf_map.recorded,

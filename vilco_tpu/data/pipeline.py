@@ -25,6 +25,7 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from vilco_tpu.core.config import Config
+from vilco_tpu.core.registry import DATASETS
 
 
 def linear_resize(feats: np.ndarray, out_len: int) -> np.ndarray:
@@ -42,6 +43,7 @@ def linear_resize(feats: np.ndarray, out_len: int) -> np.ndarray:
     return feats[lo0] * (1.0 - frac) + feats[lo1] * frac
 
 
+@DATASETS.register("dir_features")
 class DirFeatureSource:
     """Loads per-clip feature files from one or more folders, concatenating
     channel-wise (ego4d.py:663-726 multi-folder path)."""
@@ -71,6 +73,7 @@ class DirFeatureSource:
         return np.concatenate(parts, axis=-1)
 
 
+@DATASETS.register("synthetic_features")
 class SyntheticFeatureSource:
     """Deterministic per-video features with a class-conditional signal at
     GT locations so models can learn; used by tests/bench in place of the

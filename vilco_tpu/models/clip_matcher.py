@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from vilco_tpu.core.registry import MODELS
 from vilco_tpu.models.vit import ViT
 from vilco_tpu.ops.anchors import generate_anchors, xyhw_to_xyxy
 
@@ -191,6 +192,7 @@ class AnchorHead(nn.Module):
         return out_reg, out_cls
 
 
+@MODELS.register("clip_matcher")
 class ClipMatcher(nn.Module):
     """The VQ meta-arch. Consumes either raw frames (through the internal
     ViT) or precomputed patch features (`from_features=True`)."""

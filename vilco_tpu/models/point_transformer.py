@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from vilco_tpu.core.config import CLCfg, ModelConfig
+from vilco_tpu.core.registry import MODELS
 from vilco_tpu.cl.prompt import PromptPool, l2_normalize
 from vilco_tpu.models.backbone import (
     ConvBackbone,
@@ -151,6 +152,7 @@ class RegHead(nn.Module):
         return out
 
 
+@MODELS.register("point_transformer")
 class PointTransformer(nn.Module):
     """The meta-arch. Returns concatenated per-level outputs + extras."""
 

@@ -27,9 +27,10 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from vilco_tpu.cl.episode import EpisodeRunner
+from vilco_tpu.core.registry import TASKS
 from vilco_tpu.core.config import Config
 
-MQEpisodeRunner = EpisodeRunner
+MQEpisodeRunner = TASKS.register("mq")(EpisodeRunner)
 
 
 class MQTextSource:

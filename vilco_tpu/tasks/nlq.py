@@ -19,6 +19,7 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from vilco_tpu.cl.episode import EpisodeRunner
+from vilco_tpu.core.registry import TASKS
 from vilco_tpu.cl.stream import RehearsalMemory, _dedup_by_id
 from vilco_tpu.core.config import Config
 from vilco_tpu.evals.retrieval import BwfTracker, ReferringRecall
@@ -103,6 +104,7 @@ class NLQTaskStream:
         return memory_size // max(n_seen, 1)
 
 
+@TASKS.register("nlq")
 class NLQEpisodeRunner(EpisodeRunner):
     """Episode engine specialization: template tasks, ReferringRecall eval,
     BwF over R1@0.3."""

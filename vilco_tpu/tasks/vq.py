@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from vilco_tpu.cl.stream import RehearsalMemory, _dedup_by_id
+from vilco_tpu.core.registry import TASKS
 from vilco_tpu.core.checkpoint import save_checkpoint
 from vilco_tpu.evals.retrieval import BwfTracker
 from vilco_tpu.evals.vq_metrics import (
@@ -165,6 +166,7 @@ def make_synthetic_vq_split(rng: np.random.Generator, num_tasks: int = 3,
             split(samples_per_cat_val, "val"))
 
 
+@TASKS.register("vq")
 class VQEpisodeRunner:
     """CL episode engine for VQ (mirrors VQ/train_cl.py:51-280): per task —
     train the tracker (with rehearsal memory), evaluate every seen task by
