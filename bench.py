@@ -50,6 +50,8 @@ def main():
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--model", choices=["mq", "nlq"], default="mq")
+    p.add_argument("--attn", choices=["xla", "flash", "pallas_naive"],
+                   default="xla")
     p.add_argument("--no-fused", action="store_true",
                    help="disable Pallas fused attention kernels")
     p.add_argument("--scan-steps", type=int, default=4,
@@ -80,6 +82,8 @@ def main():
            else _flagship_cfg(tiny=args.fast))
     if args.no_fused:
         cfg = cfg.updated(model=cfg.model.updated(fused_attention=False))
+    if args.attn != "xla":
+        cfg = cfg.updated(model=cfg.model.updated(attention_impl=args.attn))
     if args.batch and not args.fast:
         cfg = cfg.updated(loader=cfg.loader.updated(batch_size=args.batch))
     B = cfg.loader.batch_size
@@ -99,11 +103,16 @@ def main():
     init_model = PointTransformer(
         cfg.model.updated(fused_attention=False), cfg.cl_cfg
     )
+    init_kw = {}
+    if "text" in batch_np:
+        init_kw["text"] = jnp.asarray(batch_np["text"])
+        init_kw["text_mask"] = jnp.asarray(batch_np["text_mask"])
     with jax.default_device(cpu):
         feats0 = jnp.asarray(batch_np["feats"])
         mask0 = jnp.asarray(batch_np["mask"])
         params = init_model.init(
             jax.random.PRNGKey(0), feats0, mask0, deterministic=True,
+            **init_kw,
         )["params"]
     params = jax.device_put(params, accel)
     batch = jax.device_put(

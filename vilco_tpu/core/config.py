@@ -209,6 +209,10 @@ class ModelConfig(_Base):
     # D=64 contractions underfill the MXU when issued per-(batch, head);
     # auto-disabled off-TPU)
     fused_attention: bool = False
+    # attention implementation for dense self-attention: "xla" (batched
+    # matmuls), "flash" (jax's TPU flash-attention pallas kernel),
+    # "pallas_naive" (kernels/attention.py). Resolved to "xla" off-TPU.
+    attention_impl: str = "xla"
     # cross-modal levels: branch levels excluded from text cross-attention
     # (reference hardcodes [1, 2]; MQ/libs/modeling/backbones.py:280-283)
     cross_modal_skip_levels: Tuple[int, ...] = (1, 2)

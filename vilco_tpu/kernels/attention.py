@@ -200,3 +200,28 @@ def _vjp_bwd(interpret, res, g):
 
 
 fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def flash_attention_jax(q, k, v, kv_mask):
+    """JAX's production TPU flash-attention kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention) with key-padding
+    expressed as segment ids. Self-attention only (Tq == Tk).
+
+    q/k/v: (B, T, H, D); kv_mask: (B, T) bool. Invalid query rows attend
+    valid keys (harmless — callers re-mask outputs).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention as _flash,
+    )
+
+    B, T, H, D = q.shape
+    fold = lambda x: jnp.swapaxes(x, 1, 2)       # (B, H, T, D)
+    seg_kv = jnp.where(kv_mask, 1, 2).astype(jnp.int32)
+    seg_q = jnp.ones((B, T), jnp.int32)
+    out = _flash(
+        fold(q), fold(k), fold(v),
+        segment_ids=SegmentIds(q=seg_q, kv=seg_kv),
+        sm_scale=1.0 / (D ** 0.5),
+    )
+    return jnp.swapaxes(out, 1, 2)

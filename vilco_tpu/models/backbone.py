@@ -38,6 +38,12 @@ def _use_fused(cfg: ModelConfig) -> bool:
     return bool(cfg.fused_attention) and jax.default_backend() == "tpu"
 
 
+def _attn_impl(cfg: ModelConfig) -> str:
+    if jax.default_backend() != "tpu":
+        return "xla"
+    return cfg.attention_impl
+
+
 class ConvTransformerBackbone(nn.Module):
     cfg: ModelConfig
     adapt_blocks: Tuple[int, ...] = ()   # branch indices carrying CL adapters
@@ -93,7 +99,8 @@ class ConvTransformerBackbone(nn.Module):
                     E, cfg.n_head,
                     proj_drop=cfg.dropout, path_drop=cfg.droppath,
                     t_c_alpha=cfg.t_c_alpha, use_cross_modal=False,
-                    window=cfg.n_mha_win_size, use_fused=_use_fused(cfg), name=f"txt_stem_{i}",
+                    window=cfg.n_mha_win_size, use_fused=_use_fused(cfg),
+                    attention_impl=_attn_impl(cfg), name=f"txt_stem_{i}",
                 )(src_query, src_query_mask, deterministic=deterministic)
 
         # stem
@@ -102,7 +109,8 @@ class ConvTransformerBackbone(nn.Module):
                 E, cfg.n_head,
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
-                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg), name=f"stem_{i}",
+                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg),
+                    attention_impl=_attn_impl(cfg), name=f"stem_{i}",
             )(x, mask, deterministic=deterministic)
 
         out_feats = [x]
@@ -121,7 +129,8 @@ class ConvTransformerBackbone(nn.Module):
                 E, cfg.n_head,
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
-                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg), name="pre_branch",
+                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg),
+                    attention_impl=_attn_impl(cfg), name="pre_branch",
             )(x, mask, deterministic=deterministic)
 
         t_cur = T
@@ -134,6 +143,7 @@ class ConvTransformerBackbone(nn.Module):
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cross,
                 window=cfg.n_mha_win_size, use_fused=_use_fused(cfg),
+                    attention_impl=_attn_impl(cfg),
                 adapter_t_in=t_cur if i in self.adapt_blocks else 0,
                 name=f"branch_{i}",
             )(

@@ -157,6 +157,7 @@ class MaskedMHCA(nn.Module):
     window: int = -1          # half-window for banded attention; <=0 dense
     proj_drop: float = 0.0
     use_fused: bool = False   # Pallas fused kernels (TPU)
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
@@ -194,10 +195,14 @@ class MaskedMHCA(nn.Module):
                 out = banded_attention_fused(q, k, v, kv_mask, self.window)
             else:
                 out = banded_attention(q, k, v, kv_mask, window=self.window)
-        elif self.use_fused:
-            from vilco_tpu.kernels.attention import fused_attention
+        elif self.attention_impl == "flash" and Tq == Tk:
+            from vilco_tpu.kernels.attention import flash_attention_jax
 
             # invalid query rows are zeroed by the qx_mask multiply below
+            out = flash_attention_jax(q, k, v, kv_mask)
+        elif self.use_fused or self.attention_impl == "pallas_naive":
+            from vilco_tpu.kernels.attention import fused_attention
+
             out = fused_attention(q, k, v, kv_mask)
         else:
             out = masked_attention(q, k, v, kv_mask)
@@ -288,6 +293,7 @@ class TransformerBlock(nn.Module):
     use_cross_modal: bool = False
     use_channel_attn: bool = True
     use_fused: bool = False    # Pallas fused attention kernels (TPU)
+    attention_impl: str = "xla"
     adapter_t_in: int = 0      # >0: attach TimeAdapter with this input length
 
     @nn.compact
@@ -299,7 +305,8 @@ class TransformerBlock(nn.Module):
         ln1 = LayerNormC(name="ln1")(x)
         out, out_mask = MaskedMHCA(
             E, self.n_head, n_qx_stride=s, n_kv_stride=s, window=self.window,
-            proj_drop=self.proj_drop, use_fused=self.use_fused, name="attn",
+            proj_drop=self.proj_drop, use_fused=self.use_fused,
+            attention_impl=self.attention_impl, name="attn",
         )(ln1, mask, deterministic=deterministic)
 
         if self.adapter_t_in > 0:
