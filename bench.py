@@ -101,7 +101,7 @@ def main():
     # init with a fused-off twin (identical param tree; Pallas kernels hold
     # no params and can't trace on the CPU init device)
     init_model = PointTransformer(
-        cfg.model.updated(fused_attention=False), cfg.cl_cfg
+        cfg.model.updated(fused_attention=False, attention_impl="xla"), cfg.cl_cfg
     )
     init_kw = {}
     if "text" in batch_np:
@@ -139,7 +139,13 @@ def main():
         loss_normalizer=jnp.asarray(100.0, jnp.float32),
         rng=jax.random.PRNGKey(1),
     )
+    # commit EVERY input to the accelerator: with JAX_PLATFORMS=axon,cpu an
+    # uncommitted input makes jit lower per-platform, and TPU-only pallas
+    # kernels refuse the CPU lowering
+    state = jax.device_put(state, accel)
+    points = jax.device_put(points, accel)
     cl = CLBatchExtras(class_mask=jnp.ones((cfg.model.num_classes,), bool))
+    cl = jax.device_put(cl, accel)
 
     # pre-build distinct batches so the loop isn't one cached input
     def fresh_batch():

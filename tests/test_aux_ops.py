@@ -126,3 +126,30 @@ def test_mesh_sharding_rules():
     batch = {"feats": jnp.ones((8, 16, 4))}
     sb = shard_batch(batch, mesh)
     assert sb["feats"].sharding.spec == P("data", None, None)
+
+
+def test_vq_augment_batch(rng):
+    from vilco_tpu.data.vq_augment import augment_vq_batch, hflip_clip
+
+    B, T, S = 2, 3, 8
+    batch = {
+        "clip": jnp.asarray(rng.random((B, T, S, S, 3)).astype(np.float32)),
+        "query": jnp.asarray(rng.random((B, S, S, 3)).astype(np.float32)),
+        "clip_bbox": jnp.asarray(
+            np.tile(np.array([0.2, 0.3, 0.6, 0.8], np.float32), (B, T, 1))
+        ),
+        "clip_with_bbox": jnp.ones((B, T)),
+        "before_query": jnp.ones((B, T)),
+    }
+    key = jax.random.PRNGKey(0)
+    out = jax.jit(lambda k, b: augment_vq_batch(k, b))(key, batch)
+    assert out["clip"].shape == batch["clip"].shape
+    # boxes stay valid xyxy in [0, 1]
+    bb = np.asarray(out["clip_bbox"])
+    assert (bb[..., 2] >= bb[..., 0]).all()
+    assert (bb >= -1e-6).all() and (bb <= 1 + 1e-6).all()
+    # deterministic flip: force p=1 flips boxes exactly
+    clip2, bb2 = hflip_clip(key, batch["clip"], batch["clip_bbox"], p=1.0)
+    np.testing.assert_allclose(
+        np.asarray(bb2)[0, 0], [1 - 0.6, 0.3, 1 - 0.2, 0.8], atol=1e-6
+    )

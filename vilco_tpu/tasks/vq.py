@@ -177,7 +177,7 @@ class VQEpisodeRunner:
                  method: str = "naive", memory_size: int = 0,
                  reg_lambda: float = 0.0, epochs: int = 4,
                  batch_size: int = 2, lr: float = 1e-3, seed: int = 0,
-                 use_hnm: bool = False):
+                 use_hnm: bool = False, augment: bool = False):
         self.stream = stream
         self.source = source
         self.workdir = workdir
@@ -192,6 +192,8 @@ class VQEpisodeRunner:
         self.lr = lr
         self.seed = seed
         self.use_hnm = use_hnm
+        self.augment = augment
+        self._aug_key = jax.random.PRNGKey(seed + 99)
 
         self.model = ClipMatcher(
             dim=64, clip_size=frame_size, patch_size=8,
@@ -275,6 +277,13 @@ class VQEpisodeRunner:
         n = 0
         for ep in range(self.epochs):
             for batch in self._train_batches(videos, rng):
+                if self.augment:
+                    # on-device augmentation (process_data,
+                    # VQ/dataset/dataset_utils.py:76-197)
+                    from vilco_tpu.data.vq_augment import augment_vq_batch
+
+                    self._aug_key, k = jax.random.split(self._aug_key)
+                    batch = augment_vq_batch(k, batch)
                 state, metrics = self.train_step(state, batch, reg)
                 n += 1
         self.params = state.params
