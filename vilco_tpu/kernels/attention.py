@@ -216,6 +216,9 @@ def flash_attention_jax(q, k, v, kv_mask):
     )
 
     B, T, H, D = q.shape
+    if T < 128:
+        # deep pyramid levels are shorter than the kernel's min block
+        return masked_attention_xla(q, k, v, kv_mask)
     fold = lambda x: jnp.swapaxes(x, 1, 2)       # (B, H, T, D)
     seg_kv = jnp.where(kv_mask, 1, 2).astype(jnp.int32)
     seg_q = jnp.ones((B, T), jnp.int32)
