@@ -69,6 +69,31 @@ def test_metrics_shifted_prediction():
     assert m["stAP"] <= m["tAP"] + 1e-9
 
 
+def test_paired_metrics_and_search_efficiency():
+    from vilco_tpu.evals.vq_metrics import (
+        compute_visual_query_metrics_paired,
+    )
+
+    # pixel-coordinate tracks: q0 has a LARGE gt max box (300x300), q1 small
+    gt = [
+        ResponseTrack([BBox(f, 0, 0, 300, 300) for f in range(3, 8)]),
+        ResponseTrack([BBox(f, 0, 0, 20, 20) for f in range(3, 8)]),
+    ]
+    preds = [[ResponseTrack(list(g.bboxes), score=0.9)] for g in gt]
+    crops = [BBox(0, 0, 0, 50, 50), BBox(0, 0, 0, 50, 50)]
+    out = compute_visual_query_metrics_paired(
+        preds, gt, crops, accessed_frames=[5, 5], total_frames=[10, 10]
+    )
+    # 'all' pairing = (crop any, gt-rt large) -> only q0 qualifies
+    assert set(out) == {"all"}
+    assert np.isclose(out["all"]["tAP"], 1.0)
+    assert np.isclose(out["all"]["Success"], 100.0)
+    assert np.isclose(out["all"]["search_eff%"], 50.0)
+    # flat aggregator also reports efficiency when frame counts given
+    m = compute_visual_query_metrics(preds, gt, [10, 10], [10, 10])
+    assert np.isclose(m["search_eff%"], 0.0)
+
+
 def test_peak_finding_recovers_span():
     T = 30
     scores = np.zeros(T)

@@ -27,7 +27,8 @@ def main(argv=None):
                    help="synthetic features + synthetic task split (smoke)")
     p.add_argument("--method", default=None,
                    help="override cl_cfg.name (naive|ewc|mas|icarl|bic|l2p|vilco)")
-    p.add_argument("--task", default=None, help="mq | nlq (default from config)")
+    p.add_argument("--task", default=None,
+                   help="mq | nlq | vq (default from config)")
     p.add_argument("--num-tasks", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--joint", action="store_true",
@@ -69,6 +70,38 @@ def main(argv=None):
 
     task = args.task or cfg.task
     text_source = None
+    if task == "vq":
+        # VQ (visual query 2-D tracking) episode — replaces VQ/train_cl.py
+        from vilco_tpu.tasks.vq import (
+            SyntheticVQSource, VQEpisodeRunner, VQTaskStream,
+            make_synthetic_vq_split,
+        )
+
+        if not args.synthetic:
+            p.error("--task vq currently requires --synthetic (real-frame "
+                    "sources plug in via tasks/vq.py:VQEpisodeRunner)")
+        rng = np.random.default_rng(cfg.init_rand_seed)
+        train_tasks, val_tasks = make_synthetic_vq_split(
+            rng, num_tasks=args.num_tasks or 3
+        )
+        stream = VQTaskStream(train_tasks, val_tasks)
+        runner = VQEpisodeRunner(
+            stream, SyntheticVQSource(), args.workdir,
+            method=args.method or "naive",
+            epochs=args.epochs or 4,
+            memory_size=8 if args.method in ("icarl", "rehearsal") else 0,
+        )
+        results = runner.run()
+        out = os.path.join(args.workdir, "results.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps({
+            "final_avg_tAP25": results["final"]["avg_tAP25"],
+            "final_avg_stAP25": results["final"]["avg_stAP25"],
+            "final_avg_success": results["final"]["avg_success"],
+            "results_file": out,
+        }))
+        return results
     if args.synthetic and task == "nlq":
         from vilco_tpu.tasks.nlq import (
             NLQEpisodeRunner, NLQTaskStream, SyntheticNLQFeatures,

@@ -227,13 +227,18 @@ def success_and_recovery(
 def compute_visual_query_metrics(
     predicted: List[List[ResponseTrack]],
     ground_truth: List[ResponseTrack],
+    accessed_frames: List[int] | None = None,
+    total_frames: List[int] | None = None,
 ) -> Dict[str, float]:
     """Headline VQ metrics (compute_visual_query_metrics,
-    VQ/metrics/metrics.py:21-110, 'all' pairing)."""
+    VQ/metrics/metrics.py:21-110, 'all' pairing). When per-query
+    accessed/total frame counts are given, also reports search efficiency
+    (= mean(1 - accessed/total) * 100, metrics.py:100-102; 0 for the
+    exhaustive sliding-window runner)."""
     t_ap = temporal_ap(ground_truth, predicted)
     st_ap = spatio_temporal_ap(ground_truth, predicted)
     success, recovery = success_and_recovery(ground_truth, predicted)
-    return {
+    out = {
         "tAP": float(t_ap.mean()),
         "tAP@0.25": float(t_ap[0]),
         "stAP": float(st_ap.mean()),
@@ -241,6 +246,59 @@ def compute_visual_query_metrics(
         "Success": float(success[0]),
         "recovery%": float(recovery[0]),
     }
+    if accessed_frames is not None and len(accessed_frames):
+        eff = 1.0 - (np.asarray(accessed_frames, np.float32)
+                     / np.asarray(total_frames, np.float32))
+        out["search_eff%"] = float(eff.mean() * 100.0)
+    return out
+
+
+# area pairing tables (metrics.py:27-35)
+AREA_RANGES = {
+    "all": (0.0**2, 1e5**2),
+    "small": (0.0**2, 64.0**2),
+    "medium": (64.0**2, 192.0**2),
+    "large": (192.0**2, 1e5**2),
+}
+VC_RT_PAIRINGS = {"all": ("all", "large")}
+
+
+def compute_visual_query_metrics_paired(
+    predicted: List[List[ResponseTrack]],
+    ground_truth: List[ResponseTrack],
+    visual_crop_boxes: List[BBox],
+    accessed_frames: List[int] | None = None,
+    total_frames: List[int] | None = None,
+    area_ranges: Dict[str, tuple] = AREA_RANGES,
+    vc_rt_pairings: Dict[str, tuple] = VC_RT_PAIRINGS,
+) -> Dict[str, Dict[str, float]]:
+    """Full pairing semantics of the reference aggregator
+    (metrics.py:47-105): each (visual-crop area, GT max-box area) pairing
+    selects the queries whose crop area falls in the first range and whose
+    GT response-track MAX bbox area falls in the second; pairings with no
+    queries are omitted."""
+    vc_areas = np.array([b.area() for b in visual_crop_boxes])
+    rt_areas = np.array(
+        [max(bb.area() for bb in rt.bboxes) for rt in ground_truth]
+    )
+    out: Dict[str, Dict[str, float]] = {}
+    for name, (vc_cat, rt_cat) in vc_rt_pairings.items():
+        vlo, vhi = area_ranges[vc_cat]
+        rlo, rhi = area_ranges[rt_cat]
+        mask = ((vc_areas >= vlo) & (vc_areas < vhi)
+                & (rt_areas >= rlo) & (rt_areas < rhi))
+        if not mask.any():
+            continue
+        idx = np.flatnonzero(mask)
+        out[name] = compute_visual_query_metrics(
+            [predicted[i] for i in idx],
+            [ground_truth[i] for i in idx],
+            None if accessed_frames is None
+            else [accessed_frames[i] for i in idx],
+            None if total_frames is None
+            else [total_frames[i] for i in idx],
+        )
+    return out
 
 
 def predictions_to_response_track(

@@ -376,7 +376,14 @@ class VQEpisodeRunner:
                 ]
                 gt_rts.append(ResponseTrack(gt_boxes))
                 pred_rts.append([self.predict_track(s)])
-            m = compute_visual_query_metrics(pred_rts, gt_rts)
+            # sliding-window inference scans every pre-query frame, so
+            # accessed == total and search efficiency reports 0 (the
+            # reference's exhaustive path behaves identically)
+            n_frames = [int(s["query_frame"]) for s in samples]
+            m = compute_visual_query_metrics(
+                pred_rts, gt_rts, accessed_frames=n_frames,
+                total_frames=n_frames,
+            )
             weights[i] = len(samples)
             per_task_key[i] = m["tAP@0.25"]
             per_task.append({"task": i, **m})
