@@ -54,6 +54,9 @@ def main():
                    default="xla")
     p.add_argument("--no-fused", action="store_true",
                    help="disable Pallas fused attention kernels")
+    p.add_argument("--no-fused-xl", action="store_true",
+                   help="disable the fused Pallas XL relative-attention "
+                        "kernel (default on; 104 -> 74.7 ms/step)")
     p.add_argument("--scan-steps", type=int, default=4,
                    help="train steps fused per dispatch via lax.scan; "
                         "1 = plain per-step dispatch")
@@ -84,6 +87,8 @@ def main():
         cfg = cfg.updated(model=cfg.model.updated(fused_attention=False))
     if args.attn != "xla":
         cfg = cfg.updated(model=cfg.model.updated(attention_impl=args.attn))
+    if args.no_fused_xl:
+        cfg = cfg.updated(model=cfg.model.updated(fused_xl=False))
     if args.batch and not args.fast:
         cfg = cfg.updated(loader=cfg.loader.updated(batch_size=args.batch))
     B = cfg.loader.batch_size
@@ -101,7 +106,7 @@ def main():
     # init with a fused-off twin (identical param tree; Pallas kernels hold
     # no params and can't trace on the CPU init device)
     init_model = PointTransformer(
-        cfg.model.updated(fused_attention=False, attention_impl="xla"), cfg.cl_cfg
+        cfg.model.updated(fused_attention=False, attention_impl="xla", fused_xl=False), cfg.cl_cfg
     )
     init_kw = {}
     if "text" in batch_np:

@@ -190,6 +190,17 @@ class ModelConfig(_Base):
     use_cross_modal: bool = False
     use_xl: bool = False
     xl_layers: int = 1
+    # fused Pallas XL relative-attention kernel (kernels/xl_attention.py):
+    # keeps the score chain in VMEM. Measured 104 -> 74.7 ms/step (+39%
+    # throughput) at the flagship shape. TPU-only; resolved off on other
+    # backends.
+    fused_xl: bool = True
+    # recompute the XL layer in backward instead of saving its (B,H,T,2T)
+    # score tensors. Measured SLOWER on v5e (121 vs 104 ms/step at the
+    # flagship shape): the recompute re-materializes the same HBM-resident
+    # tensors and pays the matmuls again. Kept as a memory-pressure escape
+    # hatch for longer sequences.
+    remat_xl: bool = False
     xl_d_inner: int = 2048
     xl_mem_len: int = 256
     n_txt_in: int = 768

@@ -44,6 +44,10 @@ def _attn_impl(cfg: ModelConfig) -> str:
     return cfg.attention_impl
 
 
+def _use_fused_xl(cfg: ModelConfig) -> bool:
+    return bool(cfg.fused_xl) and jax.default_backend() == "tpu"
+
+
 class ConvTransformerBackbone(nn.Module):
     cfg: ModelConfig
     adapt_blocks: Tuple[int, ...] = ()   # branch indices carrying CL adapters
@@ -120,10 +124,20 @@ class ConvTransformerBackbone(nn.Module):
         # the reference re-applies stem[0] (a quirk we reproduce as one extra
         # dedicated block, backbones.py:266-279)
         if cfg.use_xl:
+            # remat: the XL layer's (B, H, T, 2T) relative-attention score
+            # tensors dominate the whole train step's HBM traffic if saved
+            # for backward; recomputing them costs ~2 ms of MXU time and
+            # saves far more in HBM reads (the step is bandwidth-bound —
+            # see RESULTS.md MFU analysis)
+            # static_argnums counts the bound module as arg 0, so
+            # `deterministic` (a python bool) is index 3
+            xl_cls = nn.remat(XLRelAttention, static_argnums=(3,)) \
+                if cfg.remat_xl else XLRelAttention
             for i in range(cfg.xl_layers):
-                x = XLRelAttention(
-                    E, cfg.n_head, cfg.xl_d_inner, name=f"xl_{i}",
-                )(x, mask, deterministic=deterministic)
+                x = xl_cls(
+                    E, cfg.n_head, cfg.xl_d_inner,
+                    use_fused=_use_fused_xl(cfg), name=f"xl_{i}",
+                )(x, mask, deterministic)
         else:
             x, mask = TransformerBlock(
                 E, cfg.n_head,

@@ -368,6 +368,10 @@ class XLRelAttention(nn.Module):
     n_head: int
     d_inner: int
     dropout: float = 0.1
+    # fused Pallas kernel for the relative-attention core (TPU only):
+    # keeps the (T, T)/(T, 2T) score chain in VMEM instead of HBM —
+    # the XLA form's dominant bandwidth cost (see kernels/xl_attention.py)
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
@@ -400,22 +404,36 @@ class XLRelAttention(nn.Module):
         v = jnp.einsum("btc,chd->bthd", x, v_w)
         r = jnp.einsum("tc,chd->thd", pos_emb, r_w)
 
-        ac = jnp.einsum("bqhd,bkhd->bhqk", q + r_w_bias[None, None], k)
-        bd = jnp.einsum("bqhd,khd->bhqk", q + r_r_bias[None, None], r)
-        # rel shift (rel_shift_bnij, modeling_xlnet_x.py:264-276):
-        # shifted[q, k] = bd[q, T + k - q]. The reshape-slice-reshape form
-        # is the TPU-friendly one — an equivalent take_along_axis gather
-        # measured ~100x slower (per-element gathers don't vectorize on the
-        # VPU lanes).
-        bd = bd.reshape(B, H, 2 * T, T)[:, :, 1:, :]
-        bd = bd.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
+        if self.use_fused:
+            from vilco_tpu.kernels.xl_attention import xl_rel_attention
 
-        att = (ac + bd) * scale
-        att = jnp.where(mask[:, None, None, :], att, -1e9)
-        att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
-        att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
-        vm = v * mask[:, :, None, None].astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, vm)
+            rate = 0.0 if deterministic else self.dropout
+            if rate > 0.0:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), (1,), jnp.uint32
+                ).astype(jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            out = xl_rel_attention(
+                q, k, v, r, r_w_bias, r_r_bias, mask, seed, rate
+            ).astype(x.dtype)
+        else:
+            ac = jnp.einsum("bqhd,bkhd->bhqk", q + r_w_bias[None, None], k)
+            bd = jnp.einsum("bqhd,khd->bhqk", q + r_r_bias[None, None], r)
+            # rel shift (rel_shift_bnij, modeling_xlnet_x.py:264-276):
+            # shifted[q, k] = bd[q, T + k - q]. The reshape-slice-reshape
+            # form is the TPU-friendly XLA one — an equivalent
+            # take_along_axis gather measured ~100x slower (per-element
+            # gathers don't vectorize on the VPU lanes).
+            bd = bd.reshape(B, H, 2 * T, T)[:, :, 1:, :]
+            bd = bd.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
+
+            att = (ac + bd) * scale
+            att = jnp.where(mask[:, None, None, :], att, -1e9)
+            att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+            att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
+            vm = v * mask[:, :, None, None].astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", att, vm)
         out = jnp.einsum("bqhd,chd->bqc", out, o_w)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         x = nn.LayerNorm(name="ln_attn", dtype=x.dtype)(x + out)
