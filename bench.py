@@ -54,6 +54,9 @@ def main():
                    default="xla")
     p.add_argument("--no-fused", action="store_true",
                    help="disable Pallas fused attention kernels")
+    p.add_argument("--fused", action="store_true",
+                   help="enable the fused full-attention Pallas kernel "
+                        "(kernels/attention.py) in MaskedMHA/MaskedMHCA")
     p.add_argument("--no-fused-xl", action="store_true",
                    help="disable the fused Pallas XL relative-attention "
                         "kernel (default on; 104 -> 74.7 ms/step)")
@@ -85,6 +88,8 @@ def main():
            else _flagship_cfg(tiny=args.fast))
     if args.no_fused:
         cfg = cfg.updated(model=cfg.model.updated(fused_attention=False))
+    if args.fused:
+        cfg = cfg.updated(model=cfg.model.updated(fused_attention=True))
     if args.attn != "xla":
         cfg = cfg.updated(model=cfg.model.updated(attention_impl=args.attn))
     if args.no_fused_xl:

@@ -48,3 +48,44 @@ def test_fused_gradients_match(rng):
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(jq, jk, jv)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_full_attention_matches_xla(rng, monkeypatch):
+    import vilco_tpu.kernels.attention as ka
+    from vilco_tpu.ops.attention import masked_attention
+
+    monkeypatch.setattr(ka, "_use_kernel", lambda q, k: True)
+    monkeypatch.setattr(ka, "_block_size", lambda T: 16)
+    B, T, H, D = 2, 64, 2, 8
+    q, k, v = (jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.asarray(np.arange(T)[None, :] < np.array([[T], [T - 9]]))
+    ref = masked_attention(q, k, v, mask)
+    out = ka.fused_attention(q, k, v, mask, True)
+    # kernel leaves invalid query rows unmasked; compare valid rows
+    m = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(out) * m, np.asarray(ref) * m,
+                               atol=2e-5)
+
+
+def test_fused_full_attention_grads_match(rng, monkeypatch):
+    import vilco_tpu.kernels.attention as ka
+    from vilco_tpu.ops.attention import masked_attention
+
+    monkeypatch.setattr(ka, "_use_kernel", lambda q, k: True)
+    monkeypatch.setattr(ka, "_block_size", lambda T: 16)
+    B, T, H, D = 1, 32, 2, 8
+    q, k, v = (jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.ones((B, T), bool)
+
+    def lf(q_, k_, v_):
+        return jnp.sum(ka.fused_attention(q_, k_, v_, mask, True) ** 2)
+
+    def lr(q_, k_, v_):
+        return jnp.sum(masked_attention(q_, k_, v_, mask) ** 2)
+
+    g1 = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -219,7 +219,11 @@ class ModelConfig(_Base):
     # batched attention at the flagship shape — 41 vs 32 ms/step — because
     # D=64 contractions underfill the MXU when issued per-(batch, head);
     # auto-disabled off-TPU)
-    fused_attention: bool = False
+    # blocked fused full-attention Pallas kernel (kernels/attention.py):
+    # measured 75.5 -> 68.3 ms/step on top of the fused XL kernel at the
+    # MQ flagship shape. TPU-only (resolved off elsewhere); banded windows
+    # stay on the XLA blocked form (see MaskedMHCA).
+    fused_attention: bool = True
     # attention implementation for dense self-attention: "xla" (batched
     # matmuls), "flash" (jax's TPU flash-attention pallas kernel),
     # "pallas_naive" (kernels/attention.py). Resolved to "xla" off-TPU.

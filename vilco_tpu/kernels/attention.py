@@ -1,25 +1,25 @@
 """Pallas TPU kernel: fused full masked attention (fwd + bwd).
 
-The MQ flagship runs FULL attention at T=1024 (n_mha_win_size=-1 in
-configs/mq_vilco.yaml): the XLA form materializes f32 (B, H, T, T) score
-tensors in HBM (134 MB per block at the flagship shape), making the step
-HBM-bound. At these sequence lengths a whole (T, D) head fits in VMEM, so
-both passes run as single-program-per-(batch, head) kernels with scores
-living only in VMEM:
+The MQ flagship runs FULL attention in the stem/branch blocks
+(n_mha_win_size=-1 in configs/mq_vilco.yaml): the XLA form materializes
+(B, H, T, T) score tensors in HBM, and the train step is bandwidth-bound
+(RESULTS.md roofline). The kernel keeps scores in VMEM with the same
+query-blocked (H, B, q-block) grid that the fused XL kernel uses — an
+earlier single-program-per-(batch, head) version measured SLOWER than XLA
+(41 vs 32 ms at the flagship shape) because each program's full-T score
+tile serialized poorly; blocking queries restores pipelining across the
+grid.
 
   forward:  S = qk^T -> mask -> softmax -> O = P v
   backward: recompute P, then
-            dV = P^T dO
+            dV = P^T dO       (accumulated across query blocks)
             dP = dO V^T
             dS = P * (dP - rowsum(dP * P))
-            dQ = dS K * scale ; dK = dS^T Q * scale
-
-VMEM budget at the flagship shape (T=1024, D=64): Q/K/V/dO ~128 KB each
-(bf16) + S/P/dP 4 MB each (f32) — well under ~16 MB. Larger T*T falls back
-to the XLA path automatically.
+            dQ = dS K * scale ; dK = dS^T Q * scale   (dK accumulated)
 
 Semantics match ops.attention.masked_attention (MaskedMHA/MaskedMHCA,
-MQ/libs/modeling/blocks.py:256-263, 392-399).
+MQ/libs/modeling/blocks.py:256-263, 392-399; no attention-prob dropout —
+the reference's attn_pdrop is 0).
 """
 
 from __future__ import annotations
@@ -34,56 +34,59 @@ from jax.experimental.pallas import tpu as pltpu
 from vilco_tpu.ops.attention import masked_attention as masked_attention_xla
 
 NEG_INF = -1e9
-# S/P tensors are f32 in VMEM; keep them within a conservative budget
-MAX_VMEM_SCORE_BYTES = 6 * 1024 * 1024
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)              # (Tq, D)
-    k = k_ref[0].astype(jnp.float32)              # (Tk, D)
-    v = v_ref[0].astype(jnp.float32)
-    m = m_ref[0, 0]                                # (Tk,)
+def _block_size(T: int) -> int:
+    for s in (256, 128):
+        if T % s == 0 and T >= s:
+            return s
+    return T
 
+
+def _use_kernel(q, k) -> bool:
+    Tq, Tk = q.shape[1], k.shape[1]
+    return (Tq >= 128 and Tk >= 128 and Tq % _block_size(Tq) == 0)
+
+
+def _p_block(q_ref, k_ref, m_ref, *, scale):
+    q = q_ref[0, 0].astype(jnp.float32)              # (S, D)
+    k = k_ref[0, 0].astype(jnp.float32)              # (Tk, D)
+    m = m_ref[0, 0]                                   # (Tk,)
     s = jax.lax.dot_general(
         q * scale, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                              # (Tq, Tk)
+    )                                                 # (S, Tk)
     s = jnp.where(m[None, :] > 0, s, NEG_INF)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    vz = v * (m[:, None] > 0)
+    return p, m
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale):
+    p, m = _p_block(q_ref, k_ref, m_ref, scale=scale)
+    vz = v_ref[0, 0].astype(jnp.float32) * (m[:, None] > 0)
     o = jax.lax.dot_general(
         p, vz, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    m = m_ref[0, 0]
-    do = do_ref[0].astype(jnp.float32)
-
-    s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = jnp.where(m[None, :] > 0, s, NEG_INF)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)     # (Tq, Tk)
-
+    p, m = _p_block(q_ref, k_ref, m_ref, scale=scale)
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
     vz = v * (m[:, None] > 0)
+
     dv = jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )                                              # (Tk, D)
-    dv = dv * (m[:, None] > 0)                     # masked keys got zeroed v
+    ) * (m[:, None] > 0)                              # (Tk, D)
     dp = jax.lax.dot_general(
         do, vz, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )                                              # (Tq, Tk)
+    )                                                 # (S, Tk)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -92,92 +95,96 @@ def _bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] += dv.astype(dv_ref.dtype)
 
 
 def _fold(x):
-    B, T, H, D = x.shape
-    return jnp.swapaxes(x, 1, 2).reshape(B * H, T, D)
+    # (B, T, H, D) -> (H, B, T, D)
+    return jnp.transpose(x, (2, 0, 1, 3))
 
 
-def _unfold(x, B, H):
-    BH, T, D = x.shape
-    return x.reshape(B, H, T, D).swapaxes(1, 2)
+def _unfold(x):
+    return jnp.transpose(x, (1, 2, 0, 3))
+
+
+def _specs(Tq, Tk, S, D):
+    qspec = pl.BlockSpec((1, 1, S, D), lambda h, b, i: (h, b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, 1, Tk, D), lambda h, b, i: (h, b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, Tk), lambda h, b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec, mspec
 
 
 def _run_fwd(q, k, v, kv_mask, interpret):
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
+    S = _block_size(Tq)
     scale = 1.0 / (D ** 0.5)
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
-    mf = jnp.repeat(kv_mask.astype(jnp.int32), H, axis=0)[:, None, :]
+    mf = kv_mask.astype(jnp.int32)[:, None, :]
+    qspec, kspec, mspec = _specs(Tq, Tk, S, D)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
-        grid=(B * H,),
-        in_specs=[
-            pl.BlockSpec((1, Tq, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Tq, D), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Tq, D), q.dtype),
+        grid=(H, B, Tq // S),
+        in_specs=[qspec, kspec, kspec, mspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((H, B, Tq, D), q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        name="fused_attention_fwd",
     )(qf, kf, vf, mf)
-    return _unfold(out, B, H)
+    return _unfold(out)
 
 
 def _run_bwd(q, k, v, kv_mask, g, interpret):
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
+    S = _block_size(Tq)
     scale = 1.0 / (D ** 0.5)
     qf, kf, vf, gf = _fold(q), _fold(k), _fold(v), _fold(g)
-    mf = jnp.repeat(kv_mask.astype(jnp.int32), H, axis=0)[:, None, :]
+    mf = kv_mask.astype(jnp.int32)[:, None, :]
+    qspec, kspec, mspec = _specs(Tq, Tk, S, D)
 
-    spec_q = pl.BlockSpec((1, Tq, D), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    spec_k = pl.BlockSpec((1, Tk, D), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
-        grid=(B * H,),
-        in_specs=[
-            spec_q, spec_k, spec_k,
-            pl.BlockSpec((1, 1, Tk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            spec_q,
-        ],
-        out_specs=(spec_q, spec_k, spec_k),
+        grid=(H, B, Tq // S),
+        in_specs=[qspec, kspec, kspec, mspec, qspec],
+        out_specs=(qspec, kspec, kspec),
         out_shape=(
-            jax.ShapeDtypeStruct((B * H, Tq, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Tk, D), k.dtype),
-            jax.ShapeDtypeStruct((B * H, Tk, D), v.dtype),
+            jax.ShapeDtypeStruct((H, B, Tq, D), q.dtype),
+            jax.ShapeDtypeStruct((H, B, Tk, D), jnp.float32),
+            jax.ShapeDtypeStruct((H, B, Tk, D), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        name="fused_attention_bwd",
     )(qf, kf, vf, mf, gf)
-    return (_unfold(dq, B, H), _unfold(dk, B, H), _unfold(dv, B, H))
-
-
-def _fits_vmem(q, k) -> bool:
-    Tq, Tk = q.shape[1], k.shape[1]
-    return Tq * Tk * 4 <= MAX_VMEM_SCORE_BYTES
+    return (_unfold(dq), _unfold(dk).astype(k.dtype),
+            _unfold(dv).astype(v.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_attention(q, k, v, kv_mask, interpret: bool = False):
     """Fused masked attention; q (B,Tq,H,D), k/v (B,Tk,H,D), kv_mask (B,Tk).
-    Falls back to the XLA form when the score tile exceeds the VMEM budget.
-    Invalid-query rows are NOT zeroed (callers multiply by their own query
-    mask, as in ops.attention.masked_attention)."""
-    if not _fits_vmem(q, k):
+    Falls back to the XLA form for short sequences (cross-attention onto
+    text tokens etc.). Invalid-query rows are NOT zeroed (callers multiply
+    by their own query mask, as in ops.attention.masked_attention)."""
+    if not _use_kernel(q, k):
         return masked_attention_xla(q, k, v, kv_mask)
     return _run_fwd(q, k, v, kv_mask, interpret)
 
@@ -188,7 +195,7 @@ def _vjp_fwd(q, k, v, kv_mask, interpret):
 
 def _vjp_bwd(interpret, res, g):
     q, k, v, kv_mask = res
-    if not _fits_vmem(q, k):
+    if not _use_kernel(q, k):
         _, vjp = jax.vjp(
             lambda q_, k_, v_: masked_attention_xla(q_, k_, v_, kv_mask),
             q, k, v,
@@ -208,7 +215,9 @@ def flash_attention_jax(q, k, v, kv_mask):
     expressed as segment ids. Self-attention only (Tq == Tk).
 
     q/k/v: (B, T, H, D); kv_mask: (B, T) bool. Invalid query rows attend
-    valid keys (harmless — callers re-mask outputs).
+    valid keys (harmless — callers re-mask outputs). Measured 65 vs 77
+    clips/s against the XLA path at the MQ flagship shape — kept as an
+    opt-in (attention_impl="flash").
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,

@@ -187,7 +187,10 @@ class MaskedMHCA(nn.Module):
         k = k.reshape(B, Tk, H, D)
         v = v.reshape(B, Tk, H, D)
         if self.window > 0 and Tq == Tk:
-            if self.use_fused:
+            # the fused banded kernel needs Mosaic-alignable slices
+            # (window multiple of 128); real configs use small windows
+            # (9/19) where the XLA blocked banded form is the fast path
+            if self.use_fused and self.window % 128 == 0:
                 from vilco_tpu.kernels.banded_attention import (
                     banded_attention_fused,
                 )
