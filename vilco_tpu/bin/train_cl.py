@@ -59,8 +59,26 @@ def main(argv=None):
         cfg = nlq_tiny_config()
     else:
         cfg = tiny_config()
-    if args.method:
+    if args.method == "vilco":
+        # the full ViLCo recipe (configs/mq_vilco.yaml cl_cfg): L2P prompt
+        # pool + rehearsal memory + narration-SSL + EMA time-adapters
+        cl = cfg.cl_cfg
+        cfg = cfg.updated(cl_cfg=cl.updated(
+            name="l2p", prompt_pool=True, narration_ssl=True,
+            use_adapt=True,
+            adapt_blocks=cl.adapt_blocks or (0, 1, 2),
+            memory_size=cl.memory_size
+            or 2 * cfg.dataset.num_classes,
+        ))
+    elif args.method:
         cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(name=args.method))
+        if args.method in ("icarl", "bic") and cfg.cl_cfg.memory_size == 0:
+            # rehearsal-based methods are meaningless without exemplars
+            # (distillation and BiC stage-2 are gated on known classes) —
+            # the reference always pairs them with a memory budget
+            cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(
+                memory_size=2 * cfg.dataset.num_classes
+            ))
     if args.epochs:
         cfg = cfg.updated(opt=cfg.opt.updated(epochs=args.epochs))
     if args.num_tasks:
@@ -121,7 +139,16 @@ def main(argv=None):
             train_tasks, val_tasks = make_synthetic_cl_split(rng, cfg)
             stream = TaskStream(train_tasks, val_tasks)
             src = SyntheticFeatureSource(cfg.dataset.input_dim)
-            runner = EpisodeRunner(cfg, stream, src, workdir=args.workdir)
+            nar = None
+            if cfg.cl_cfg.narration_ssl:
+                from vilco_tpu.data.pipeline import SyntheticNarrationSource
+
+                nar = SyntheticNarrationSource(
+                    cfg.cl_cfg.narration_dim,
+                    cfg.dataset.max_narration_len,
+                )
+            runner = EpisodeRunner(cfg, stream, src, workdir=args.workdir,
+                                   narration_source=nar)
         else:
             from vilco_tpu.tasks.mq import build_mq_runner
 

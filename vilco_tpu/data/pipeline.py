@@ -110,6 +110,28 @@ class SyntheticFeatureSource:
         return feats
 
 
+class SyntheticNarrationSource:
+    """Deterministic per-video narration token features — stands in for the
+    CLIP narration-token dumps the reference loads (ego4d.py:793-824) so
+    the narration-SSL path runs end-to-end in smoke/synthetic episodes."""
+
+    def __init__(self, narration_dim: int, max_len: int = 8,
+                 p_missing: float = 0.2):
+        self.dim = narration_dim
+        self.max_len = max_len
+        self.p_missing = p_missing
+
+    def __call__(self, video: dict):
+        seed = int(hashlib.md5(
+            ("nar" + video["id"]).encode()
+        ).hexdigest()[:8], 16)
+        rng = np.random.default_rng(seed)
+        if rng.random() < self.p_missing:
+            return None   # clips without in-segment narrations
+        n = int(rng.integers(1, self.max_len + 1))
+        return rng.standard_normal((n, self.dim)).astype(np.float32)
+
+
 class ClipDataset:
     """Video dicts -> fixed-shape samples (grid-coord conversion, upsample,
     random-crop truncation, GT padding).
