@@ -1,0 +1,37 @@
+"""Serving export: jax.export artifact round-trips and matches the model."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vilco_tpu.bin.export_model import export_forward, load_exported
+from vilco_tpu.data.synthetic import tiny_config
+from vilco_tpu.models.point_transformer import PointTransformer
+
+
+def test_export_roundtrip_matches_apply(tmp_path, rng):
+    cfg = tiny_config()
+    model = PointTransformer(cfg.model, cfg.cl_cfg)
+    B, T, C = (cfg.loader.batch_size, cfg.dataset.max_seq_len,
+               cfg.dataset.input_dim)
+    feats = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    mask = jnp.asarray(np.arange(T)[None, :] < T - 3).repeat(B, axis=0)
+    params = model.init(jax.random.PRNGKey(0), feats, mask,
+                        deterministic=True)["params"]
+
+    exp = export_forward(cfg, params, platforms=("cpu",))
+    path = tmp_path / "m.hlo"
+    path.write_bytes(exp.serialize())
+
+    fn = load_exported(str(path))
+    out = fn(feats, mask)
+    ref = model.apply({"params": params}, feats, mask, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out["cls_logits"]), np.asarray(ref["cls_logits"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["offsets"]), np.asarray(ref["offsets"]),
+        atol=1e-5, rtol=1e-5,
+    )

@@ -1,0 +1,116 @@
+"""Serving export: serialize the jitted forward pass to a StableHLO artifact.
+
+The reference has no serving story (inference runs through the training
+entry points); for production deployment the TPU-native equivalent is an
+ahead-of-time `jax.export` artifact — a platform-checked, serialized
+StableHLO module that a serving binary (or another JAX process) loads and
+calls without the model code or Python weights pipeline.
+
+  # export the flagship MQ forward (synthetic-initialized weights)
+  python -m vilco_tpu.bin.export_model --out model.stablehlo --tiny
+
+  # export from a trained checkpoint
+  python -m vilco_tpu.bin.export_model --out model.stablehlo \
+      --config configs/mq_vilco.yaml --ckpt runs/x/task_004.ckpt
+
+Round-trip: `load_exported(path)` deserializes and returns a callable.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def export_forward(cfg, params, platforms=("tpu", "cpu")):
+    """Export `model.apply(params, feats, mask)` -> jax.export.Exported.
+
+    The artifact closes over the weights (they become constants in the
+    module) so the serving side needs nothing but the bytes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from vilco_tpu.models.point_transformer import PointTransformer
+
+    # serving artifact: deterministic forward, XLA ops only (Pallas custom
+    # calls are not portable across serialization targets)
+    model = PointTransformer(
+        cfg.model.updated(fused_attention=False, attention_impl="xla",
+                          fused_xl=False),
+        cfg.cl_cfg,
+    )
+    B, T, C = (cfg.loader.batch_size, cfg.dataset.max_seq_len,
+               cfg.dataset.input_dim)
+
+    def forward(feats, mask):
+        out = model.apply({"params": params}, feats, mask,
+                          deterministic=True)
+        return {"cls_logits": out["cls_logits"], "offsets": out["offsets"]}
+
+    args = (jax.ShapeDtypeStruct((B, T, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, T), jnp.bool_))
+    return jexport.export(jax.jit(forward), platforms=list(platforms))(*args)
+
+
+def load_exported(path: str):
+    """Deserialize an exported artifact; returns the jax-callable."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    return exp.call
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint from train_cl (uses its params)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny synthetic config (smoke)")
+    p.add_argument("--platforms", default="tpu,cpu")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.core.config import load_config
+    from vilco_tpu.data.synthetic import tiny_config
+
+    cfg = load_config(args.config) if args.config else tiny_config()
+    if args.tiny and args.config is None:
+        pass  # tiny_config already
+
+    if args.ckpt:
+        from vilco_tpu.core.checkpoint import load_checkpoint
+
+        params = load_checkpoint(args.ckpt)["params"]
+    else:
+        from vilco_tpu.models.point_transformer import PointTransformer
+
+        model = PointTransformer(
+            cfg.model.updated(fused_attention=False, attention_impl="xla",
+                              fused_xl=False),
+            cfg.cl_cfg,
+        )
+        B, T, C = (cfg.loader.batch_size, cfg.dataset.max_seq_len,
+                   cfg.dataset.input_dim)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((B, T, C)), jnp.ones((B, T), bool),
+            deterministic=True,
+        )["params"]
+
+    exp = export_forward(cfg, params,
+                         platforms=tuple(args.platforms.split(",")))
+    data = exp.serialize()
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(f"wrote {args.out}: {len(data)/1e6:.1f} MB, "
+          f"platforms={exp.platforms}, "
+          f"in={[str(a) for a in exp.in_avals]}")
+
+
+if __name__ == "__main__":
+    main()
