@@ -35,3 +35,20 @@ def test_export_roundtrip_matches_apply(tmp_path, rng):
         np.asarray(out["offsets"]), np.asarray(ref["offsets"]),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from vilco_tpu.core.checkpoint import restore_orbax, save_orbax
+
+    tree = {
+        "params": {"w": jnp.arange(12.0).reshape(3, 4),
+                   "b": jnp.ones((5,), jnp.bfloat16)},
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    path = str(tmp_path / "ck")
+    save_orbax(path, tree)
+    back = restore_orbax(path, tree)
+    np.testing.assert_allclose(np.asarray(back["params"]["w"]),
+                               np.asarray(tree["params"]["w"]))
+    assert back["params"]["b"].dtype == jnp.bfloat16
+    assert int(back["step"]) == 7

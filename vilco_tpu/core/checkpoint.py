@@ -40,3 +40,30 @@ def save_msgpack(path: str, tree) -> None:
 def restore_msgpack(path: str, target):
     with open(path, "rb") as f:
         return serialization.from_bytes(target, f.read())
+
+
+def save_orbax(path: str, tree) -> None:
+    """Orbax (tensorstore-backed) checkpoint of an array pytree — the
+    TPU-native format for large/sharded params: per-array chunked storage,
+    OCDBT, restores straight to sharded device arrays on a mesh. Use for
+    params/opt-state; the pickled episode sidecar (rehearsal memory index,
+    BwF history) stays in save_checkpoint."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def restore_orbax(path: str, target=None):
+    """Restore an orbax checkpoint; `target` (an abstract or concrete
+    pytree) restores with matching structure/sharding when given."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+                target,
+            )
+            return ckptr.restore(os.path.abspath(path), abstract)
+        return ckptr.restore(os.path.abspath(path))
