@@ -287,6 +287,9 @@ class OptCfg(_Base):
     # final per-task validation (MQ/train_cl.py:283-315, 363)
     track_best: bool = False
     eval_start_ratio: float = 0.33
+    # Adam first-moment dtype; "bfloat16" halves m-state HBM traffic on the
+    # bandwidth-bound step (second moment stays f32 for stability)
+    mu_dtype: str = "float32"
     ema_decay: float = 0.0          # model EMA (train_utils.py ModelEma); 0 = off
 
 

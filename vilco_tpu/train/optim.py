@@ -59,8 +59,11 @@ def make_schedule(cfg: OptCfg, steps_per_epoch: int) -> optax.Schedule:
 def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
     sched = make_schedule(cfg, steps_per_epoch)
     if cfg.type.lower() == "adamw":
+        import jax.numpy as jnp
+
+        mu_dtype = jnp.bfloat16 if cfg.mu_dtype == "bfloat16" else None
         tx = optax.chain(
-            optax.scale_by_adam(),
+            optax.scale_by_adam(mu_dtype=mu_dtype),
             optax.add_decayed_weights(
                 cfg.weight_decay, mask=weight_decay_mask(params)
             ),
