@@ -35,6 +35,8 @@ def main(argv=None):
                    help="merge all tasks into one (the reference's non-CL "
                         "train.py upper bound)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--workers", type=int, default=None,
+                   help="loader worker threads (prefetching batch build)")
     args = p.parse_args(argv)
 
     logging.basicConfig(
@@ -83,6 +85,8 @@ def main(argv=None):
         cfg = cfg.updated(opt=cfg.opt.updated(epochs=args.epochs))
     if args.num_tasks:
         cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(num_tasks=args.num_tasks))
+    if args.workers is not None:
+        cfg = cfg.updated(loader=cfg.loader.updated(num_workers=args.workers))
 
     import numpy as np
 

@@ -194,7 +194,9 @@ class EpisodeRunner:
         (MQ/train_cl.py:226-235)."""
         data = self._make_dataset(videos, is_training=False)
         it = BatchIterator(data, self.cfg, self.cfg.loader.batch_size,
-                           is_training=False)
+                           is_training=False,
+                           num_workers=self.cfg.loader.num_workers,
+                           prefetch=self.cfg.loader.prefetch)
         out = {}
         for batch, meta in it:
             res = self.eval_step(params, self._to_device(batch))
@@ -226,6 +228,8 @@ class EpisodeRunner:
         loader = BatchIterator(
             data, cfg, cfg.loader.batch_size, is_training=True,
             seed=cfg.init_rand_seed,
+            num_workers=cfg.loader.num_workers,
+            prefetch=cfg.loader.prefetch,
         )
         steps_per_epoch = max(len(loader), 1)
 
@@ -374,7 +378,9 @@ class EpisodeRunner:
         bias, opt2 = init2()
         data = self._make_dataset(heldout, is_training=True)
         loader = BatchIterator(data, cfg, cfg.loader.batch_size,
-                               is_training=True, seed=cfg.init_rand_seed)
+                               is_training=True, seed=cfg.init_rand_seed,
+                               num_workers=cfg.loader.num_workers,
+                               prefetch=cfg.loader.prefetch)
         a, b = self.bic.per_class(j)
         cl = CLBatchExtras(
             class_mask=class_mask,
@@ -415,7 +421,9 @@ class EpisodeRunner:
         (classify, meta_archs.py:1068-1096)."""
         data = self._make_dataset(videos, is_training=False)
         it = BatchIterator(data, self.cfg, self.cfg.loader.batch_size,
-                           is_training=False)
+                           is_training=False,
+                           num_workers=self.cfg.loader.num_workers,
+                           prefetch=self.cfg.loader.prefetch)
         levels = None
         for batch, meta in it:
             out = self.eval_step(self.params, self._to_device(batch),
@@ -441,7 +449,9 @@ class EpisodeRunner:
         """Run eval forward + decode over videos; segments in seconds."""
         data = self._make_dataset(videos, is_training=False)
         it = BatchIterator(data, self.cfg, self.cfg.loader.batch_size,
-                           is_training=False)
+                           is_training=False,
+                           num_workers=self.cfg.loader.num_workers,
+                           prefetch=self.cfg.loader.prefetch)
         adapter_ema = getattr(self, "_adapter_ema", None)
         icarl_means = getattr(self, "_icarl_means", None)
         use_icarl_filter = (

@@ -331,10 +331,17 @@ def collate(samples: List[dict], cfg: Config) -> Dict[str, np.ndarray]:
 
 
 class BatchIterator:
-    """Deterministic, host-sharded batch stream (replaces DistributedSampler,
-    datasets.py:24-33). Training epochs reshuffle with (seed, epoch); eval
-    iterates in order, padding the final batch by repeating sample 0 with a
-    `pad` meta flag."""
+    """Deterministic, host-sharded batch stream (replaces DistributedSampler
+    + DataLoader workers, datasets.py:19-40). Training epochs reshuffle with
+    (seed, epoch); eval iterates in order, padding the final batch by
+    repeating sample 0 with a `pad` meta flag.
+
+    `num_workers > 0` builds batches in a thread pool and prefetches
+    `prefetch` batches ahead of the consumer (feature .npz/.npy loads are
+    IO-bound, so threads suffice — the reference's worker processes exist to
+    dodge the GIL for torch tensor transforms we don't do host-side). Batch
+    ORDER and augmentation randomness are identical for any worker count:
+    each batch draws from its own rng spawned from (seed, epoch, batch)."""
 
     def __init__(
         self,
@@ -345,6 +352,8 @@ class BatchIterator:
         seed: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
+        num_workers: int = 0,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.cfg = cfg
@@ -353,6 +362,8 @@ class BatchIterator:
         self.seed = seed
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, 1)
         self.epoch = 0
 
     def __len__(self):
@@ -366,35 +377,25 @@ class BatchIterator:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def __iter__(self) -> Iterator:
+    def _selections(self):
+        """Per-epoch list of (indices, pad_flags) in yield order."""
         n = len(self.dataset)
         if n == 0:
-            return
+            return []
         rng = np.random.default_rng((self.seed, self.epoch))
         idx = np.arange(n)
         if self.is_training:
             idx = rng.permutation(n)
         idx = idx[self.shard_id :: self.num_shards]
         bs = self.batch_size
+        out = []
         if self.is_training:
             n_batches = max(len(idx) // bs, 1 if len(idx) else 0)
             if len(idx) < bs:
                 idx = np.resize(idx, bs)
             for b in range(n_batches):
-                sel = idx[b * bs : (b + 1) * bs]
-                samples = [self.dataset[i] for i in sel]
-                if self.cfg.dataset.crop_ratio is not None:
-                    samples = [
-                        truncate_feats(
-                            s, self.cfg.dataset.max_seq_len,
-                            self.cfg.dataset.trunc_thresh,
-                            self.cfg.dataset.crop_ratio, rng,
-                        )
-                        for s in samples
-                    ]
-                batch, meta = collate(samples, self.cfg)
-                meta["pad"] = [False] * len(samples)
-                yield batch, meta
+                sel = list(idx[b * bs : (b + 1) * bs])
+                out.append((sel, [False] * len(sel)))
         else:
             for b in range(0, len(idx), bs):
                 sel = list(idx[b : b + bs])
@@ -402,7 +403,50 @@ class BatchIterator:
                 while len(sel) < bs:
                     sel.append(idx[0])
                     pad.append(True)
-                samples = [self.dataset[i] for i in sel]
-                batch, meta = collate(samples, self.cfg)
-                meta["pad"] = pad
-                yield batch, meta
+                out.append((sel, pad))
+        return out
+
+    def _build(self, sel, pad, batch_rng):
+        samples = [self.dataset[i] for i in sel]
+        if self.is_training and self.cfg.dataset.crop_ratio is not None:
+            samples = [
+                truncate_feats(
+                    s, self.cfg.dataset.max_seq_len,
+                    self.cfg.dataset.trunc_thresh,
+                    self.cfg.dataset.crop_ratio, batch_rng,
+                )
+                for s in samples
+            ]
+        batch, meta = collate(samples, self.cfg)
+        meta["pad"] = pad
+        return batch, meta
+
+    def __iter__(self) -> Iterator:
+        sels = self._selections()
+        if not sels:
+            return
+        rngs = np.random.default_rng(
+            (self.seed, self.epoch, 7)
+        ).spawn(len(sels))
+        if self.num_workers <= 0:
+            for (sel, pad), r in zip(sels, rngs):
+                yield self._build(sel, pad, r)
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            depth = self.prefetch + self.num_workers
+            futs = [
+                pool.submit(self._build, sel, pad, r)
+                for (sel, pad), r in zip(sels[:depth], rngs[:depth])
+            ]
+            nxt = depth
+            for i in range(len(sels)):
+                yield futs[i % depth].result()
+                if nxt < len(sels):
+                    sel, pad = sels[nxt]
+                    futs[nxt % depth] = pool.submit(
+                        self._build, sel, pad, rngs[nxt]
+                    )
+                    nxt += 1
