@@ -4,11 +4,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "clips/s/chip", "vs_baseline": N}
 
 Measures the jitted train step of the flagship MQ point-transformer
-(embd 1024, T=1024, arch (2,2,9), 110 classes — mirroring
-configs/mq_vilco.yaml) on synthetic feature batches. Defaults: batch 8 with
-4 lax.scan-fused steps per dispatch (99 clips/s/chip measured on one v5e);
-the reference's batch-2 setting measures 62 clips/s/chip
-(`--batch 2 --scan-steps 1`).
+(embd 1024, T=1024, arch (2,2,9), 110 classes, XL stage — mirroring
+configs/mq_vilco.yaml) on synthetic feature batches. Defaults: batch 8,
+4 lax.scan-fused steps per dispatch, fused XL + fused full-attention
+Pallas kernels — 117 clips/s/chip measured on one v5e (68.3 ms/step; the
+XLA attention path measures 77). The reference's batch-2 setting:
+`--batch 2 --scan-steps 1`. `--model nlq` benches the dual-tower NLQ
+flagship (230 clips/s/chip).
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
 constant below is an estimate of the reference PyTorch pipeline's training

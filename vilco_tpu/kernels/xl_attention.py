@@ -31,7 +31,11 @@ consecutive and Mosaic keeps the accumulator in VMEM).
 
 Dropout on the attention probabilities (the reference applies it there)
 uses the in-kernel PRNG seeded per (h, b, q-block); forward and backward
-regenerate identical masks from the same seed.
+regenerate identical masks from the same seed. Verified on hardware:
+same-seed runs are bit-identical, different seeds differ, rate=0 is
+seed-independent, and gradients through the dropout path are finite
+(the in-kernel PRNG does not lower on CPU, so this path is TPU-only;
+CPU tests cover rate=0).
 """
 
 from __future__ import annotations
