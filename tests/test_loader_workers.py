@@ -54,3 +54,53 @@ def test_epoch_reshuffles():
     it.set_epoch(1)
     second = [m["video_id"] for _, m in it]
     assert first != second
+
+
+def test_fused_heads_match_per_level_loop():
+    """ClsHead/RegHead run levels fused in one concatenated pass; verify
+    exact equality with the per-level loop (incl. the LN-revives-masked-
+    positions semantics of the reference)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from vilco_tpu.models.point_transformer import ClsHead, RegHead
+    from vilco_tpu.models.layers import LayerNormC, MaskedConv, Scale
+
+    rng = np.random.default_rng(0)
+    B, C = 2, 16
+    lens = [32, 16, 8]
+    feats = [jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+             for T in lens]
+    masks = [jnp.asarray(np.arange(T)[None, :] < np.array([[T], [T - 3]]))
+             for T in lens]
+
+    cls = ClsHead(feat_dim=C, num_classes=5)
+    p = cls.init(jax.random.PRNGKey(0), feats, masks)
+    fused = cls.apply(p, feats, masks)
+
+    def per_level(params, f, m):
+        h = f
+        for i in range(2):
+            kern = params["params"][f"head_{i}"]
+            from vilco_tpu.ops.masked import channel_layernorm, masked_conv1d
+            h, _ = masked_conv1d(h, m, kern["kernel"])
+            ln = params["params"][f"norm_{i}"]
+            h = channel_layernorm(h, ln["weight"], ln["bias"])
+            h = jax.nn.relu(h)
+        kern = params["params"]["cls"]
+        out, _ = masked_conv1d(h, m, kern["kernel"], kern["bias"])
+        return out
+
+    for fu, f, m in zip(fused, feats, masks):
+        ref = per_level(p, f, m)
+        np.testing.assert_allclose(np.asarray(fu), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    reg = RegHead(feat_dim=C, num_levels=len(lens))
+    pr = reg.init(jax.random.PRNGKey(1), feats, masks)
+    fused_r = reg.apply(pr, feats, masks)
+    assert len(fused_r) == len(lens)
+    for fu, T in zip(fused_r, lens):
+        assert fu.shape == (B, T, 2)
+        assert (np.asarray(fu) >= 0).all()

@@ -80,9 +80,43 @@ class FPN1D(nn.Module):
         return outs, masks
 
 
+def _concat_levels(feats, masks, gap: int):
+    """Concatenate per-level (B, T_l, C) tensors along time with `gap`
+    masked-off zero positions between levels. A K-wide conv over the concat
+    sees zeros across boundaries (each layer re-zeros the gaps), so shared
+    heads run ONCE over (B, sum T_l + gaps, C) instead of once per level —
+    on the 10-level MQ pyramid that turns 60 small convs into 6 MXU-sized
+    ones. Returns (concat_feats, concat_mask, gap_keep, level_slices):
+    gap_keep is False ONLY at gap positions — within-level masked positions
+    are left to behave exactly as in the per-level form, where LN revives
+    them (bias at zeroed positions) and the next conv reads them (reference
+    MaskedConv1D + LayerNorm semantics, blocks.py:57-175)."""
+    B, _, C = feats[0].shape
+    z = jnp.zeros((B, gap, C), feats[0].dtype)
+    zm = jnp.zeros((B, gap), bool)
+    parts_f, parts_m, parts_k, slices = [], [], [], []
+    off = 0
+    for i, (f, m) in enumerate(zip(feats, masks)):
+        if i:
+            parts_f.append(z)
+            parts_m.append(zm)
+            parts_k.append(zm)
+            off += gap
+        T = f.shape[1]
+        parts_f.append(f)
+        parts_m.append(m)
+        parts_k.append(jnp.ones((B, T), bool))
+        slices.append((off, T))
+        off += T
+    return (jnp.concatenate(parts_f, axis=1),
+            jnp.concatenate(parts_m, axis=1),
+            jnp.concatenate(parts_k, axis=1), slices)
+
+
 class ClsHead(nn.Module):
     """Shared conv classification head (meta_archs.py:183-259): (layers-1) x
-    [masked conv + LN + ReLU] + final conv with prior-prob bias init."""
+    [masked conv + LN + ReLU] + final conv with prior-prob bias init. Levels
+    are fused into one concatenated pass (see _concat_levels)."""
 
     feat_dim: int
     num_classes: int
@@ -104,22 +138,23 @@ class ClsHead(nn.Module):
         ]
         final = MaskedConv(self.num_classes, self.kernel_size,
                            bias_init=bias_init, name="cls")
-        out = []
-        for f, m in zip(feats, masks):
-            h = f
-            for conv, norm in zip(convs, norms):
-                h, _ = conv(h, m)
-                if self.with_ln:
-                    h = norm(h)
-                h = nn.relu(h)
-            logits, _ = final(h, m)
-            out.append(logits)
-        return out
+        h, m, keep, slices = _concat_levels(feats, masks,
+                                            self.kernel_size // 2)
+        kf = keep[..., None].astype(h.dtype)
+        for conv, norm in zip(convs, norms):
+            h, _ = conv(h, m)
+            if self.with_ln:
+                h = norm(h)
+            # LN/ReLU revive zeroed positions (LN of zeros = bias); re-zero
+            # ONLY the gaps so each conv sees zero padding across levels
+            h = nn.relu(h) * kf
+        logits, _ = final(h, m)
+        return [logits[:, o:o + T] for o, T in slices]
 
 
 class RegHead(nn.Module):
     """Shared conv regression head with per-level Scale + ReLU
-    (meta_archs.py:278-349)."""
+    (meta_archs.py:278-349). Levels fused as in ClsHead."""
 
     feat_dim: int
     num_levels: int
@@ -139,17 +174,19 @@ class RegHead(nn.Module):
         ]
         final = MaskedConv(2, self.kernel_size, name="offset")
         scales = [Scale(name=f"scale_{l}") for l in range(self.num_levels)]
-        out = []
-        for l, (f, m) in enumerate(zip(feats, masks)):
-            h = f
-            for conv, norm in zip(convs, norms):
-                h, _ = conv(h, m)
-                if self.with_ln:
-                    h = norm(h)
-                h = nn.relu(h)
-            offsets, _ = final(h, m)
-            out.append(nn.relu(scales[l](offsets)))
-        return out
+        h, m, keep, slices = _concat_levels(feats, masks,
+                                            self.kernel_size // 2)
+        kf = keep[..., None].astype(h.dtype)
+        for conv, norm in zip(convs, norms):
+            h, _ = conv(h, m)
+            if self.with_ln:
+                h = norm(h)
+            h = nn.relu(h) * kf
+        offsets, _ = final(h, m)
+        return [
+            nn.relu(scales[l](offsets[:, o:o + T]))
+            for l, (o, T) in enumerate(slices)
+        ]
 
 
 @MODELS.register("point_transformer")
