@@ -153,3 +153,29 @@ def test_vq_augment_batch(rng):
     np.testing.assert_allclose(
         np.asarray(bb2)[0, 0], [1 - 0.6, 0.3, 1 - 0.2, 0.8], atol=1e-6
     )
+
+
+def test_ensemble_cli(tmp_path):
+    from vilco_tpu.bin.ensemble import main
+
+    def preds(shift):
+        return {"results": [{
+            "clip_uid": "c1",
+            "predicted_times": [[10.0 + shift, 20.0 + shift, 0.9],
+                                 [40.0, 45.0, 0.5], [70.0, 75.0, 0.3],
+                                 [90.0, 95.0, 0.2], [100.0, 105.0, 0.1]],
+        }]}
+
+    paths = []
+    for i, s in enumerate((0.0, 0.5, 1.0)):
+        p = tmp_path / f"p{i}.json"
+        p.write_text(json.dumps(preds(s)))
+        paths.append(str(p))
+    out = tmp_path / "fused.json"
+    main(paths + ["--out", str(out)])
+    r = json.loads(out.read_text())
+    assert len(r["results"]) == 1
+    spans = r["results"][0]["predicted_times"]
+    assert len(spans) == 5
+    # the agreeing cluster around [10, 20] must rank first
+    assert 9.5 <= spans[0][0] <= 11.5 and 19.5 <= spans[0][1] <= 21.5
