@@ -64,6 +64,10 @@ def main():
                         "kernel (default on; 104 -> 74.7 ms/step)")
     p.add_argument("--mu-bf16", action="store_true",
                    help="Adam first moment in bfloat16")
+    p.add_argument("--factored", action="store_true",
+                   help="Adafactor-style factored second moment (halves "
+                        "optimizer-state HBM traffic; non-reference "
+                        "semantics, opt-in)")
     p.add_argument("--scan-steps", type=int, default=4,
                    help="train steps fused per dispatch via lax.scan; "
                         "1 = plain per-step dispatch")
@@ -100,6 +104,8 @@ def main():
         cfg = cfg.updated(model=cfg.model.updated(fused_xl=False))
     if args.mu_bf16:
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype="bfloat16"))
+    if args.factored:
+        cfg = cfg.updated(opt=cfg.opt.updated(second_moment="factored"))
     if args.batch and not args.fast:
         cfg = cfg.updated(loader=cfg.loader.updated(batch_size=args.batch))
     B = cfg.loader.batch_size

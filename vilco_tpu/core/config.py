@@ -290,6 +290,11 @@ class OptCfg(_Base):
     # Adam first-moment dtype; "bfloat16" halves m-state HBM traffic on the
     # bandwidth-bound step (second moment stays f32 for stability)
     mu_dtype: str = "float32"
+    # "factored" swaps the full second moment for Adafactor-style row/col
+    # statistics (optax.scale_by_factored_rms) — cuts optimizer-state HBM
+    # traffic ~2x on the bandwidth-bound flagship step; opt-in because it
+    # deviates from the reference's AdamW semantics
+    second_moment: str = "full"
     ema_decay: float = 0.0          # model EMA (train_utils.py ModelEma); 0 = off
 
 

@@ -118,6 +118,9 @@ class SyntheticVQSource:
         q[c:-c, c:-c, ch] = 1.0
         return q
 
+    def frames(self, sample: dict, idxs) -> np.ndarray:
+        return self.clip(sample)[np.asarray(idxs, np.int64)]
+
 
 def make_synthetic_vq_split(rng: np.random.Generator, num_tasks: int = 3,
                             cats_per_task: int = 2,
@@ -219,23 +222,41 @@ class VQEpisodeRunner:
         self.bwf = BwfTracker()
 
     # --------------------------------------------------------------
-    def _sample_window(self, sample: dict, rng: np.random.Generator):
-        """Random training window around the response track."""
+    def _window_indices(self, sample: dict,
+                        rng: np.random.Generator) -> np.ndarray:
+        """Training-window frame indices: the reference's balanced sampler
+        when the sample carries a `valid_range` (real Ego4D annotations),
+        else a random contiguous window around the track."""
         T = sample["num_frames"]
         w = self.window
+        if sample.get("valid_range") is not None:
+            from vilco_tpu.data.vq_frames import balanced_frame_indices
+
+            return np.clip(balanced_frame_indices(w, sample, rng),
+                           0, max(T - 1, 0))
         fnos = sorted(sample["track"])
         center = int(rng.choice(fnos))
         start = int(np.clip(center - rng.integers(0, w), 0, T - w))
-        clip = self.source.clip(sample)[start:start + w]
+        return np.arange(start, start + w)
+
+    def _fetch_frames(self, sample: dict, idxs) -> np.ndarray:
+        if hasattr(self.source, "frames"):
+            return self.source.frames(sample, idxs)
+        return self.source.clip(sample)[np.asarray(idxs, np.int64)]
+
+    def _sample_window(self, sample: dict, rng: np.random.Generator):
+        """Random training window around the response track."""
+        w = self.window
+        idxs = self._window_indices(sample, rng)
+        clip = self._fetch_frames(sample, idxs)
         bbox = np.zeros((w, 4), np.float32)
         with_box = np.zeros((w,), np.float32)
-        for i in range(w):
-            box = sample["track"].get(start + i)
+        for i, f in enumerate(idxs):
+            box = sample["track"].get(int(f))
             if box is not None:
                 bbox[i] = box
                 with_box[i] = 1.0
-        before = (np.arange(start, start + w) <
-                  sample["query_frame"]).astype(np.float32)
+        before = (idxs < sample["query_frame"]).astype(np.float32)
         return {
             "clip": clip,
             "query": self.source.query(sample),
@@ -336,7 +357,6 @@ class VQEpisodeRunner:
         """Sliding-window inference over the full clip
         (task_inference_predict.py:30-150) -> per-frame top bbox/prob ->
         peak finding -> ResponseTrack."""
-        frames = self.source.clip(sample)
         query = self.source.query(sample)[None]
         T = sample["num_frames"]
         w = self.window
@@ -344,14 +364,14 @@ class VQEpisodeRunner:
         boxes = np.zeros((T, 4), np.float64)
         counts = np.zeros((T,), np.int64)
         for start in range(0, T, w):
-            start = min(start, T - w)
-            clip = jnp.asarray(frames[start:start + w][None])
+            start = max(min(start, T - w), 0)
+            idxs = np.minimum(np.arange(start, start + w), T - 1)
+            clip = jnp.asarray(self._fetch_frames(sample, idxs)[None])
             bbox, prob = self.eval_step(self.params, clip,
                                         jnp.asarray(query))
             bbox = np.asarray(bbox[0])
             prob = np.asarray(prob[0])
-            for i in range(w):
-                f = start + i
+            for i, f in enumerate(idxs):
                 if counts[f] == 0 or prob[i] > scores[f]:
                     scores[f] = prob[i]
                     boxes[f] = bbox[i]

@@ -59,16 +59,28 @@ def make_schedule(cfg: OptCfg, steps_per_epoch: int) -> optax.Schedule:
 def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
     sched = make_schedule(cfg, steps_per_epoch)
     if cfg.type.lower() == "adamw":
-        import jax.numpy as jnp
-
         mu_dtype = jnp.bfloat16 if cfg.mu_dtype == "bfloat16" else None
-        tx = optax.chain(
-            optax.scale_by_adam(mu_dtype=mu_dtype),
-            optax.add_decayed_weights(
-                cfg.weight_decay, mask=weight_decay_mask(params)
-            ),
-            optax.scale_by_learning_rate(sched),
-        )
+        if cfg.second_moment == "factored":
+            # Adafactor-style factored v + momentum: optimizer state drops
+            # from 2 x params (f32) to row/col stats + one (optionally
+            # bf16) momentum pytree — the remaining big HBM-traffic term
+            # of the flagship step after the fused kernels (RESULTS.md)
+            tx = optax.chain(
+                optax.scale_by_factored_rms(),
+                optax.trace(decay=0.9, accumulator_dtype=mu_dtype),
+                optax.add_decayed_weights(
+                    cfg.weight_decay, mask=weight_decay_mask(params)
+                ),
+                optax.scale_by_learning_rate(sched),
+            )
+        else:
+            tx = optax.chain(
+                optax.scale_by_adam(mu_dtype=mu_dtype),
+                optax.add_decayed_weights(
+                    cfg.weight_decay, mask=weight_decay_mask(params)
+                ),
+                optax.scale_by_learning_rate(sched),
+            )
     else:  # SGD + momentum
         tx = optax.chain(
             optax.trace(decay=cfg.momentum),
