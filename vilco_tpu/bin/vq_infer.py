@@ -9,6 +9,11 @@ here windows are batched through one jitted step — scale comes from the
 device mesh, not host processes.
 
   python -m vilco_tpu.bin.vq_infer --workdir ./runs/vq --synthetic
+
+Real data (Ego4D vq_val.json + decoded clips or extracted frames):
+
+  python -m vilco_tpu.bin.vq_infer --workdir ./runs/vq \
+      --annotations vq_val.json --clip-dir ./clips   # or --images-dir
 """
 
 from __future__ import annotations
@@ -26,6 +31,14 @@ def main(argv=None):
     p.add_argument("--workdir", required=True)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num-tasks", type=int, default=2)
+    p.add_argument("--annotations", help="Ego4D vq_{train,val}.json")
+    p.add_argument("--clip-dir", help="directory of {clip_uid}.mp4 clips")
+    p.add_argument("--images-dir",
+                   help="directory of {clip_uid}/frame_XXXXXXX.jpg frames")
+    p.add_argument("--frame-size", type=int, default=448)
+    p.add_argument("--window", type=int, default=30)
+    p.add_argument("--categories-per-task", type=int, default=400,
+                   help="QIL grouping (scripts/split_vq.py: 5 x ~400)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
@@ -41,11 +54,34 @@ def main(argv=None):
         make_synthetic_vq_split,
     )
 
-    rng = np.random.default_rng(0)
-    train, val = make_synthetic_vq_split(rng, num_tasks=args.num_tasks)
-    stream = VQTaskStream(train, val)
-    src = SyntheticVQSource()
-    runner = VQEpisodeRunner(stream, src, args.workdir)
+    if args.annotations:
+        from vilco_tpu.data.vq_frames import (
+            FrameDirSource,
+            VideoFrameSource,
+            group_by_category,
+            load_vq_annotations,
+        )
+
+        samples = load_vq_annotations(args.annotations, split="val")
+        tasks = group_by_category(samples, args.categories_per_task)
+        stream = VQTaskStream(tasks, tasks)
+        if args.images_dir:
+            src = FrameDirSource(args.images_dir,
+                                 frame_size=args.frame_size)
+        elif args.clip_dir:
+            src = VideoFrameSource(args.clip_dir,
+                                   frame_size=args.frame_size)
+        else:
+            p.error("--annotations needs --clip-dir or --images-dir")
+        runner = VQEpisodeRunner(stream, src, args.workdir,
+                                 window=args.window,
+                                 frame_size=args.frame_size)
+    else:
+        rng = np.random.default_rng(0)
+        train, val = make_synthetic_vq_split(rng, num_tasks=args.num_tasks)
+        stream = VQTaskStream(train, val)
+        src = SyntheticVQSource()
+        runner = VQEpisodeRunner(stream, src, args.workdir)
 
     ckpts = sorted(glob.glob(os.path.join(args.workdir, "vq_task_*.ckpt")))
     if ckpts:

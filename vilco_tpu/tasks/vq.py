@@ -356,25 +356,39 @@ class VQEpisodeRunner:
     def predict_track(self, sample: dict) -> ResponseTrack:
         """Sliding-window inference over the full clip
         (task_inference_predict.py:30-150) -> per-frame top bbox/prob ->
-        peak finding -> ResponseTrack."""
-        query = self.source.query(sample)[None]
+        peak finding -> ResponseTrack.
+
+        All windows of a clip run as ONE batched jitted call (the
+        reference dispatches window-by-window per mp worker,
+        inference_predict.py:26-93); the batch is padded to a power-of-2
+        bucket so repeat clips reuse the compiled executable."""
+        query = self.source.query(sample)
         T = sample["num_frames"]
         w = self.window
+        starts = [max(min(s, T - w), 0) for s in range(0, T, w)]
+        win_idxs = [np.minimum(np.arange(s, s + w), T - 1) for s in starts]
+        clips = np.stack([self._fetch_frames(sample, ix) for ix in win_idxs])
+        n = len(starts)
+        bucket = 1 << (n - 1).bit_length()          # pad to power of 2
+        if bucket > n:
+            clips = np.concatenate(
+                [clips, np.repeat(clips[-1:], bucket - n, axis=0)]
+            )
+        queries = jnp.asarray(
+            np.repeat(query[None], bucket, axis=0)
+        )
+        bbox_b, prob_b = self.eval_step(self.params, jnp.asarray(clips),
+                                        queries)
+        bbox_b = np.asarray(bbox_b[:n])
+        prob_b = np.asarray(prob_b[:n])
         scores = np.zeros((T,), np.float64)
         boxes = np.zeros((T, 4), np.float64)
         counts = np.zeros((T,), np.int64)
-        for start in range(0, T, w):
-            start = max(min(start, T - w), 0)
-            idxs = np.minimum(np.arange(start, start + w), T - 1)
-            clip = jnp.asarray(self._fetch_frames(sample, idxs)[None])
-            bbox, prob = self.eval_step(self.params, clip,
-                                        jnp.asarray(query))
-            bbox = np.asarray(bbox[0])
-            prob = np.asarray(prob[0])
+        for bi, idxs in enumerate(win_idxs):
             for i, f in enumerate(idxs):
-                if counts[f] == 0 or prob[i] > scores[f]:
-                    scores[f] = prob[i]
-                    boxes[f] = bbox[i]
+                if counts[f] == 0 or prob_b[bi, i] > scores[f]:
+                    scores[f] = prob_b[bi, i]
+                    boxes[f] = bbox_b[bi, i]
                 counts[f] += 1
         # to pixel coords for the metrics
         boxes = boxes * self.frame_size
