@@ -37,6 +37,18 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--workers", type=int, default=None,
                    help="loader worker threads (prefetching batch build)")
+    # real-data VQ sources (data/vq_frames.py)
+    p.add_argument("--vq-annotations", default=None,
+                   help="Ego4D vq_train.json (with --task vq)")
+    p.add_argument("--vq-val-annotations", default=None,
+                   help="Ego4D vq_val.json (defaults to --vq-annotations)")
+    p.add_argument("--vq-clip-dir", default=None,
+                   help="directory of {clip_uid}.mp4 clips")
+    p.add_argument("--vq-images-dir", default=None,
+                   help="directory of {clip_uid}/frame_XXXXXXX.jpg frames")
+    p.add_argument("--vq-frame-size", type=int, default=448)
+    p.add_argument("--vq-window", type=int, default=30)
+    p.add_argument("--vq-categories-per-task", type=int, default=400)
     args = p.parse_args(argv)
 
     logging.basicConfig(
@@ -99,9 +111,50 @@ def main(argv=None):
             make_synthetic_vq_split,
         )
 
+        if args.vq_annotations:
+            from vilco_tpu.data.vq_frames import (
+                FrameDirSource, VideoFrameSource, group_splits,
+                load_vq_annotations,
+            )
+
+            train_s = load_vq_annotations(args.vq_annotations, "train")
+            val_s = load_vq_annotations(
+                args.vq_val_annotations or args.vq_annotations, "val"
+            )
+            per = args.vq_categories_per_task
+            stream = VQTaskStream(*group_splits(train_s, val_s, per))
+            if args.vq_images_dir:
+                source = FrameDirSource(args.vq_images_dir,
+                                        frame_size=args.vq_frame_size)
+            elif args.vq_clip_dir:
+                source = VideoFrameSource(args.vq_clip_dir,
+                                          frame_size=args.vq_frame_size)
+            else:
+                p.error("--vq-annotations needs --vq-clip-dir or "
+                        "--vq-images-dir")
+            runner = VQEpisodeRunner(
+                stream, source, args.workdir,
+                window=args.vq_window, frame_size=args.vq_frame_size,
+                method=args.method or "naive",
+                epochs=args.epochs or 4,
+                memory_size=(2 * per
+                             if args.method in ("icarl", "rehearsal",
+                                                "vilco") else 0),
+            )
+            results = runner.run()
+            out = os.path.join(args.workdir, "results.json")
+            with open(out, "w") as f:
+                json.dump(results, f, indent=2)
+            print(json.dumps({
+                "final_avg_tAP25": results["final"]["avg_tAP25"],
+                "final_avg_stAP25": results["final"]["avg_stAP25"],
+                "final_avg_success": results["final"]["avg_success"],
+                "results_file": out,
+            }))
+            return results
         if not args.synthetic:
-            p.error("--task vq currently requires --synthetic (real-frame "
-                    "sources plug in via tasks/vq.py:VQEpisodeRunner)")
+            p.error("--task vq needs --synthetic or --vq-annotations "
+                    "with a frame source")
         rng = np.random.default_rng(cfg.init_rand_seed)
         train_tasks, val_tasks = make_synthetic_vq_split(
             rng, num_tasks=args.num_tasks or 3

@@ -327,16 +327,40 @@ class FrameDirSource(_BaseFrameSource):
 
 
 def group_by_category(samples: List[dict], categories_per_task: int,
-                      seed: int = 0) -> Dict[int, Dict[str, list]]:
+                      seed: int = 0,
+                      names: Optional[List[str]] = None
+                      ) -> Dict[int, Dict[str, list]]:
     """Category-keyed QIL task dict from a flat sample list — the shape
-    VQTaskStream consumes (VQ/dataset/cl_benchmark.py:18-120)."""
+    VQTaskStream consumes (VQ/dataset/cl_benchmark.py:18-120).
+
+    `names` pins the category->task ordering (pass the same list for the
+    train and val splits so a category lands in the same task in both)."""
     cats: Dict[str, list] = {}
     for s in samples:
         cats.setdefault(s["category"], []).append(s)
-    names = sorted(cats)
-    rng = np.random.default_rng(seed)
-    rng.shuffle(names)
+    if names is None:
+        names = sorted(cats)
+        rng = np.random.default_rng(seed)
+        rng.shuffle(names)
     tasks: Dict[int, Dict[str, list]] = {}
     for i, name in enumerate(names):
-        tasks.setdefault(i // categories_per_task, {})[name] = cats[name]
+        if name in cats:
+            tasks.setdefault(i // categories_per_task, {})[name] = cats[name]
     return tasks
+
+
+def group_splits(train_samples: List[dict], val_samples: List[dict],
+                 categories_per_task: int, seed: int = 0):
+    """Consistent category->task split over train ∪ val (the reference's
+    split_vq.py shuffles the global category list once)."""
+    names = sorted({s["category"] for s in train_samples}
+                   | {s["category"] for s in val_samples})
+    rng = np.random.default_rng(seed)
+    rng.shuffle(names)
+    train_t = group_by_category(train_samples, categories_per_task,
+                                names=names)
+    val_t = group_by_category(val_samples, categories_per_task, names=names)
+    for k in set(train_t) | set(val_t):   # identical task keys in both
+        train_t.setdefault(k, {})
+        val_t.setdefault(k, {})
+    return train_t, val_t
