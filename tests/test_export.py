@@ -52,3 +52,23 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                np.asarray(tree["params"]["w"]))
     assert back["params"]["b"].dtype == jnp.bfloat16
     assert int(back["step"]) == 7
+
+
+def test_load_params_into_partial(tmp_path):
+    """--init-from fine-tune semantics: matching leaves load, mismatched
+    keep fresh init (NLQ/train_ft.py equivalent)."""
+    import numpy as np
+    from vilco_tpu.core.checkpoint import load_params_into, save_checkpoint
+
+    src = {"trunk": {"kernel": np.ones((4, 4), np.float32)},
+           "head": {"kernel": np.zeros((4, 2), np.float32)}}
+    path = str(tmp_path / "ft.ckpt")
+    save_checkpoint(path, {"params": src, "task": 0})
+
+    tgt = {"trunk": {"kernel": np.zeros((4, 4), np.float32)},
+           "head": {"kernel": np.full((4, 5), 7.0, np.float32)},  # resized
+           "extra": {"bias": np.full((3,), 2.0, np.float32)}}     # new leaf
+    out = load_params_into(path, tgt)
+    assert np.asarray(out["trunk"]["kernel"]).sum() == 16          # loaded
+    assert np.allclose(np.asarray(out["head"]["kernel"]), 7.0)     # fresh
+    assert np.allclose(np.asarray(out["extra"]["bias"]), 2.0)      # fresh

@@ -35,6 +35,12 @@ def main(argv=None):
                    help="merge all tasks into one (the reference's non-CL "
                         "train.py upper bound)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-from", default=None,
+                   help="checkpoint to initialize model params from before "
+                        "the episode starts (NLQ/train_ft.py fine-tune "
+                        "entry point equivalent; extra/missing leaves — "
+                        "e.g. a differently-sized cls head — keep their "
+                        "fresh init)")
     p.add_argument("--workers", type=int, default=None,
                    help="loader worker threads (prefetching batch build)")
     # real-data VQ sources (data/vq_frames.py)
@@ -216,6 +222,10 @@ def main(argv=None):
 
             runner.stream = merge_tasks(runner.stream)
             runner._setup_eval()
+    if args.init_from:
+        from vilco_tpu.core.checkpoint import load_params_into
+
+        runner.params = load_params_into(args.init_from, runner.params)
     results = runner.run(resume=args.resume)
     out = os.path.join(args.workdir, "results.json")
     with open(out, "w") as f:

@@ -31,6 +31,43 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def load_params_into(path: str, target_params):
+    """Initialize `target_params` from a checkpoint's params, keeping the
+    fresh init for leaves that are missing or shape-mismatched (e.g. a
+    cls head sized for a different task count) — the fine-tune entry
+    semantics of NLQ/train_ft.py (load pretrained trunk, new heads).
+    """
+    import jax.numpy as jnp
+
+    tree = load_checkpoint(path)
+    src = tree.get("params", tree)
+
+    flat_tgt = dict(jax.tree_util.tree_flatten_with_path(target_params)[0])
+    flat_src = dict(jax.tree_util.tree_flatten_with_path(src)[0])
+    loaded = skipped = 0
+    out = {}
+    for kpath, leaf in flat_tgt.items():
+        cand = flat_src.get(kpath)
+        if cand is not None and np.shape(cand) == np.shape(leaf):
+            out[kpath] = jnp.asarray(cand)
+            loaded += 1
+        else:
+            out[kpath] = leaf
+            skipped += 1
+    treedef = jax.tree_util.tree_structure(target_params)
+    result = jax.tree_util.tree_unflatten(
+        treedef, [out[k] for k, _ in
+                  jax.tree_util.tree_flatten_with_path(target_params)[0]]
+    )
+    import logging
+
+    logging.getLogger("vilco.ckpt").info(
+        "init-from %s: %d leaves loaded, %d kept fresh", path, loaded,
+        skipped,
+    )
+    return result
+
+
 def save_msgpack(path: str, tree) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
