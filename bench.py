@@ -64,6 +64,9 @@ def main():
                         "kernel (default on; 104 -> 74.7 ms/step)")
     p.add_argument("--mu-bf16", action="store_true",
                    help="Adam first moment in bfloat16")
+    p.add_argument("--flat-opt", action="store_true",
+                   help="optax.flatten the moment update into one flat "
+                        "buffer (same math, far fewer kernels)")
     p.add_argument("--factored", action="store_true",
                    help="Adafactor-style factored second moment (halves "
                         "optimizer-state HBM traffic; non-reference "
@@ -106,6 +109,8 @@ def main():
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype="bfloat16"))
     if args.factored:
         cfg = cfg.updated(opt=cfg.opt.updated(second_moment="factored"))
+    if args.flat_opt:
+        cfg = cfg.updated(opt=cfg.opt.updated(flatten=True))
     if args.batch and not args.fast:
         cfg = cfg.updated(loader=cfg.loader.updated(batch_size=args.batch))
     B = cfg.loader.batch_size

@@ -270,3 +270,37 @@ def test_full_model_ema():
     # EMA moved, but lags the live params
     assert moved > 1e-5, moved
     assert lag > 1e-5, lag
+
+
+def test_flatten_optimizer_matches_per_tensor():
+    """opt.flatten collapses the moment update into one flat buffer; the
+    math must be identical to the per-tensor chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vilco_tpu.core.config import OptCfg
+    from vilco_tpu.train.optim import make_optimizer
+
+    params = {
+        "a": {"kernel": jnp.asarray(np.random.default_rng(0)
+                                    .standard_normal((8, 4), np.float32))},
+        "b": {"bias": jnp.ones((4,), jnp.float32)},
+    }
+    grads = jax.tree.map(lambda p: 0.1 * jnp.ones_like(p), params)
+    for factored in ("full", "factored"):
+        cfg = OptCfg(second_moment=factored)
+        tx_ref, _ = make_optimizer(cfg, params, steps_per_epoch=10)
+        tx_flat, _ = make_optimizer(cfg.updated(flatten=True), params,
+                                    steps_per_epoch=10)
+        s_ref, s_flat = tx_ref.init(params), tx_flat.init(params)
+        p_ref, p_flat = params, params
+        for _ in range(3):
+            u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+            u_flat, s_flat = tx_flat.update(grads, s_flat, p_flat)
+            import optax
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_flat = optax.apply_updates(p_flat, u_flat)
+        for kr, kf in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_flat)):
+            np.testing.assert_allclose(np.asarray(kr), np.asarray(kf),
+                                       rtol=2e-6, atol=2e-7)

@@ -295,6 +295,10 @@ class OptCfg(_Base):
     # traffic ~2x on the bandwidth-bound flagship step; opt-in because it
     # deviates from the reference's AdamW semantics
     second_moment: str = "full"
+    # ravel the param pytree into one flat buffer for the update
+    # (optax.flatten): ~500 per-tensor Adam updates (~800 tiny kernels per
+    # step in the profile) collapse into a few big ones. Exact same math.
+    flatten: bool = False
     ema_decay: float = 0.0          # model EMA (train_utils.py ModelEma); 0 = off
 
 

@@ -89,4 +89,33 @@ def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
             ),
             optax.scale_by_learning_rate(sched),
         )
+    if cfg.flatten:
+        # NOTE: masked weight decay must see the ORIGINAL tree, so the
+        # flat wrapper goes around the whole chain only when the mask is
+        # trivial; otherwise wrap adam alone and keep decay per-tensor.
+        tx = _flatten_keeping_decay(cfg, params, sched)
     return tx, sched
+
+
+def _flatten_keeping_decay(cfg: OptCfg, params, sched):
+    """optax.flatten over the moment updates; decayed weights + lr stay
+    outside (decay is masked per-tensor and already cheap — one
+    multiply-add per leaf fuses into the unravel consumers)."""
+    mu_dtype = jnp.bfloat16 if cfg.mu_dtype == "bfloat16" else None
+    if cfg.second_moment == "factored":
+        # factored stats depend on per-tensor shapes — cannot flatten;
+        # flatten only the momentum part
+        inner = optax.chain(
+            optax.scale_by_factored_rms(),
+            optax.flatten(optax.trace(decay=0.9,
+                                      accumulator_dtype=mu_dtype)),
+        )
+    else:
+        inner = optax.flatten(optax.scale_by_adam(mu_dtype=mu_dtype))
+    return optax.chain(
+        inner,
+        optax.add_decayed_weights(
+            cfg.weight_decay, mask=weight_decay_mask(params)
+        ),
+        optax.scale_by_learning_rate(sched),
+    )
