@@ -42,6 +42,99 @@ if "axon" in os.environ.get("JAX_PLATFORMS", ""):
     os.environ["JAX_PLATFORMS"] = "axon,cpu"
 
 REFERENCE_GPU_CLIPS_PER_S_ESTIMATE = 16.0
+# VQ: reference trains batch 4 of 30x448x448 windows through a frozen
+# ViT-B/14 + tracker head on one GPU with grad accumulation — roughly
+# ~2 samples/s on its target hardware (estimate; no published numbers)
+REFERENCE_GPU_VQ_SAMPLES_PER_S_ESTIMATE = 2.0
+
+
+def bench_vq(args):
+    """VQ ClipMatcher train-step throughput (samples/s/chip; one sample =
+    one 30-frame 448^2 window + query through the frozen ViT-B/14-shaped
+    backbone + tracker, mirroring VQ/config/train_cl.yaml)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vilco_tpu.models.clip_matcher import ClipMatcher
+    from vilco_tpu.train.vq_engine import VQTrainState, make_vq_train_step
+
+    if args.fast:
+        B, T, S, P = 2, 4, 32, 8
+        vit = dict(vit_dim=48, vit_depth=2, vit_heads=4)
+        dim, rt, ra = 64, 4, 4
+    else:
+        B, T, S, P = (args.batch if args.batch != 8 else 4), 30, 448, 14
+        vit = dict(vit_dim=768, vit_depth=12, vit_heads=12)  # ViT-B/14
+        dim, rt, ra = 256, 8, 16
+    model = ClipMatcher(dim=dim, clip_size=S, patch_size=P,
+                        resolution_transformer=rt,
+                        resolution_anchor_feat=ra,
+                        num_transformer=3, window_transformer=5,
+                        num_frames=T, **vit)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    accel = jax.devices()[0]
+    rng = np.random.default_rng(0)
+
+    def fresh_batch():
+        return {
+            "clip": jnp.asarray(rng.random((B, T, S, S, 3), np.float32)),
+            "query": jnp.asarray(rng.random((B, S, S, 3), np.float32)),
+            "clip_bbox": jnp.asarray(
+                np.tile([0.3, 0.3, 0.6, 0.6], (B, T, 1)).astype(np.float32)
+            ),
+            "clip_with_bbox": jnp.ones((B, T), jnp.float32),
+            "before_query": jnp.ones((B, T), jnp.float32),
+        }
+
+    b0 = jax.tree.map(lambda x: jax.device_put(x, cpu), fresh_batch())
+    with jax.default_device(cpu):
+        params = model.init(jax.random.PRNGKey(0), b0["clip"], b0["query"],
+                            deterministic=True)["params"]
+    params = jax.device_put(params, accel)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    tx = optax.adamw(1e-4, weight_decay=1e-4)
+    with jax.default_device(cpu):
+        opt_state = tx.init(jax.device_put(params, cpu))
+    state = VQTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=jax.device_put(opt_state, accel),
+        rng=jax.random.PRNGKey(1),
+    )
+    step = make_vq_train_step(model, tx)
+    batches = [jax.device_put(fresh_batch(), accel) for _ in range(2)]
+
+    for i in range(args.warmup):
+        state, metrics = step(state, batches[i % 2])
+    float(metrics["final_loss"])
+    t0 = time.time()
+    for i in range(args.steps):
+        state, metrics = step(state, batches[i % 2])
+    loss_val = float(metrics["final_loss"])
+    dt = time.time() - t0
+    value = args.steps * B / dt / jax.device_count()
+    print(json.dumps({
+        "metric": "vq_flagship_train_throughput",
+        "value": round(value, 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(
+            value / REFERENCE_GPU_VQ_SAMPLES_PER_S_ESTIMATE, 3
+        ),
+        "detail": {
+            "batch": B, "frames": T, "size": S,
+            "steps": args.steps,
+            "step_ms": round(dt / args.steps * 1e3, 2),
+            "params_m": round(n_params / 1e6, 1),
+            "devices": jax.device_count(),
+            "platform": jax.devices()[0].platform,
+            "loss": loss_val,
+            "baseline_estimated": True,
+        },
+    }))
 
 
 def main():
@@ -51,7 +144,7 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--model", choices=["mq", "nlq"], default="mq")
+    p.add_argument("--model", choices=["mq", "nlq", "vq"], default="mq")
     p.add_argument("--attn", choices=["xla", "flash", "pallas_naive"],
                    default="xla")
     p.add_argument("--no-fused", action="store_true",
@@ -94,6 +187,9 @@ def main():
         make_train_step,
     )
     from vilco_tpu.train.optim import make_optimizer
+
+    if args.model == "vq":
+        return bench_vq(args)
 
     cfg = (_nlq_flagship_cfg() if args.model == "nlq"
            else _flagship_cfg(tiny=args.fast))
