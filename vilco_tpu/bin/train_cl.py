@@ -35,6 +35,10 @@ def main(argv=None):
                    help="merge all tasks into one (the reference's non-CL "
                         "train.py upper bound)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host bring-up: jax.distributed.initialize "
+                        "when a coordinator is configured, then shard the "
+                        "train data per host (torchrun/NCCL equivalent)")
     p.add_argument("--init-from", default=None,
                    help="checkpoint to initialize model params from before "
                         "the episode starts (NLQ/train_ft.py fine-tune "
@@ -222,6 +226,10 @@ def main(argv=None):
 
             runner.stream = merge_tasks(runner.stream)
             runner._setup_eval()
+    if args.distributed:
+        from vilco_tpu.parallel.mesh import init_distributed
+
+        runner.shard = init_distributed()
     if args.init_from:
         from vilco_tpu.core.checkpoint import load_params_into
 

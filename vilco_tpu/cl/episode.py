@@ -75,6 +75,7 @@ class EpisodeRunner:
         workdir: str = "/tmp/vilco_run",
         text_source: Optional[Callable] = None,
         narration_source: Optional[Callable] = None,
+        shard: tuple = (0, 1),
     ):
         self.cfg = cfg
         self.stream = stream
@@ -82,6 +83,10 @@ class EpisodeRunner:
         self.text_source = text_source
         self.narration_source = narration_source
         self.workdir = workdir
+        # (process_index, process_count) — per-host train-data shard
+        # (replaces DistributedSampler; eval stays unsharded like the
+        # reference's rank-0 validation)
+        self.shard = shard
         os.makedirs(workdir, exist_ok=True)
 
         self.model = PointTransformer(cfg.model, cfg.cl_cfg)
@@ -228,6 +233,7 @@ class EpisodeRunner:
         loader = BatchIterator(
             data, cfg, cfg.loader.batch_size, is_training=True,
             seed=cfg.init_rand_seed,
+            shard_id=self.shard[0], num_shards=self.shard[1],
             num_workers=cfg.loader.num_workers,
             prefetch=cfg.loader.prefetch,
         )

@@ -84,3 +84,25 @@ def shard_params(params, mesh: Mesh):
 
 def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_shardings(batch, mesh))
+
+
+def init_distributed() -> tuple:
+    """Multi-host bring-up: the TPU-native replacement for the reference's
+    `init_process_group("nccl")` + torchrun rendezvous (MQ/train_cl.py:52,
+    VQ/utils/dist_utils.py:31-43).
+
+    Calls `jax.distributed.initialize()` when a coordinator is configured
+    (JAX_COORDINATOR_ADDRESS env or TPU-pod metadata via megascale env
+    vars); otherwise a single-process no-op. Returns
+    (process_index, process_count) — feed these to BatchIterator's
+    (shard_id, num_shards) for the deterministic per-host data shard that
+    replaces DistributedSampler.
+    """
+    import os
+
+    if jax.process_count() > 1:          # already initialized
+        return jax.process_index(), jax.process_count()
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
