@@ -108,7 +108,7 @@ def bench_vq(args):
     step = make_vq_train_step(model, tx)
     batches = [jax.device_put(fresh_batch(), accel) for _ in range(2)]
 
-    for i in range(args.warmup):
+    for i in range(max(args.warmup, 1)):   # >=1: bind metrics + compile
         state, metrics = step(state, batches[i % 2])
     float(metrics["final_loss"])
     t0 = time.time()

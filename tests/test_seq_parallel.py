@@ -132,3 +132,20 @@ def test_seq_banded_attention_grads_match(rng):
     for a, b in zip(g_sp, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_episode_data_parallel_matches_single_device(tmp_path):
+    """enable_data_parallel shards batches over the mesh's data axis with
+    params replicated; results must match the unsharded episode."""
+    from vilco_tpu.bin.train_cl import main
+
+    r1 = main(["--synthetic", "--epochs", "1", "--num-tasks", "2",
+               "--workdir", str(tmp_path / "a")])
+    r2 = main(["--synthetic", "--epochs", "1", "--num-tasks", "2",
+               "--dp", "2", "--workdir", str(tmp_path / "b")])
+    import numpy as np
+
+    assert np.isclose(r1["final"]["avg_mAP"], r2["final"]["avg_mAP"],
+                      rtol=1e-4)
+    assert np.isclose(r1["final"]["avg_R1@0.5"], r2["final"]["avg_R1@0.5"],
+                      rtol=1e-4)

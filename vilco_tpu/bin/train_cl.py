@@ -39,6 +39,10 @@ def main(argv=None):
                    help="multi-host bring-up: jax.distributed.initialize "
                         "when a coordinator is configured, then shard the "
                         "train data per host (torchrun/NCCL equivalent)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel over N devices (0 = single device; "
+                        "-1 = all): batch sharded over a device mesh, "
+                        "gradients all-reduced by XLA")
     p.add_argument("--init-from", default=None,
                    help="checkpoint to initialize model params from before "
                         "the episode starts (NLQ/train_ft.py fine-tune "
@@ -68,6 +72,29 @@ def main(argv=None):
             logging.StreamHandler(sys.stdout),
         ],
     )
+
+    shard = (0, 1)
+    if args.distributed:
+        # MUST precede any XLA-backend-initializing call (model init,
+        # jax.devices()), or jax.distributed.initialize() raises
+        from vilco_tpu.parallel.mesh import init_distributed
+
+        shard = init_distributed()
+
+    def prep(runner):
+        """Apply the shared pre-run flags on any task's runner."""
+        if args.distributed:
+            runner.shard = shard
+        if args.dp and hasattr(runner, "enable_data_parallel"):
+            from vilco_tpu.parallel.mesh import make_mesh
+
+            n = None if args.dp == -1 else args.dp
+            runner.enable_data_parallel(make_mesh(n))
+        if args.init_from:
+            from vilco_tpu.core.checkpoint import load_params_into
+
+            runner.params = load_params_into(args.init_from, runner.params)
+        return runner
 
     from vilco_tpu.core.config import load_config
     from vilco_tpu.cl.episode import EpisodeRunner
@@ -151,7 +178,7 @@ def main(argv=None):
                              if args.method in ("icarl", "rehearsal",
                                                 "vilco") else 0),
             )
-            results = runner.run()
+            results = prep(runner).run()
             out = os.path.join(args.workdir, "results.json")
             with open(out, "w") as f:
                 json.dump(results, f, indent=2)
@@ -176,7 +203,7 @@ def main(argv=None):
             epochs=args.epochs or 4,
             memory_size=8 if args.method in ("icarl", "rehearsal") else 0,
         )
-        results = runner.run()
+        results = prep(runner).run()
         out = os.path.join(args.workdir, "results.json")
         with open(out, "w") as f:
             json.dump(results, f, indent=2)
@@ -226,15 +253,7 @@ def main(argv=None):
 
             runner.stream = merge_tasks(runner.stream)
             runner._setup_eval()
-    if args.distributed:
-        from vilco_tpu.parallel.mesh import init_distributed
-
-        runner.shard = init_distributed()
-    if args.init_from:
-        from vilco_tpu.core.checkpoint import load_params_into
-
-        runner.params = load_params_into(args.init_from, runner.params)
-    results = runner.run(resume=args.resume)
+    results = prep(runner).run(resume=args.resume)
     out = os.path.join(args.workdir, "results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)

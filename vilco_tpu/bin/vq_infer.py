@@ -31,7 +31,12 @@ def main(argv=None):
     p.add_argument("--workdir", required=True)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num-tasks", type=int, default=2)
-    p.add_argument("--annotations", help="Ego4D vq_{train,val}.json")
+    p.add_argument("--annotations", help="Ego4D vq_val.json to score")
+    p.add_argument("--train-annotations",
+                   help="Ego4D vq_train.json used for the training run — "
+                        "REQUIRED to reproduce the same category->task "
+                        "grouping as train_cl (which shuffles the "
+                        "train+val category union)")
     p.add_argument("--clip-dir", help="directory of {clip_uid}.mp4 clips")
     p.add_argument("--images-dir",
                    help="directory of {clip_uid}/frame_XXXXXXX.jpg frames")
@@ -59,11 +64,21 @@ def main(argv=None):
             FrameDirSource,
             VideoFrameSource,
             group_by_category,
+            group_splits,
             load_vq_annotations,
         )
 
         samples = load_vq_annotations(args.annotations, split="val")
-        tasks = group_by_category(samples, args.categories_per_task)
+        if args.train_annotations:
+            train_s = load_vq_annotations(args.train_annotations, "train")
+            _, tasks = group_splits(train_s, samples,
+                                    args.categories_per_task)
+        else:
+            logging.warning(
+                "no --train-annotations: category->task grouping is over "
+                "val categories only and may NOT match the training run"
+            )
+            tasks = group_by_category(samples, args.categories_per_task)
         stream = VQTaskStream(tasks, tasks)
         if args.images_dir:
             src = FrameDirSource(args.images_dir,

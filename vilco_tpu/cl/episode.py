@@ -87,6 +87,10 @@ class EpisodeRunner:
         # (replaces DistributedSampler; eval stays unsharded like the
         # reference's rank-0 validation)
         self.shard = shard
+        # set via enable_data_parallel(): device mesh for SPMD train/eval
+        # steps (batch sharded over 'data', params replicated, XLA inserts
+        # the gradient psum — the DDP the reference comments out)
+        self.mesh = None
         os.makedirs(workdir, exist_ok=True)
 
         self.model = PointTransformer(cfg.model, cfg.cl_cfg)
@@ -189,9 +193,47 @@ class EpisodeRunner:
             mask[c] = True
         return jnp.asarray(mask)
 
+    def enable_data_parallel(self, mesh=None):
+        """Run the jitted steps SPMD over a device mesh: each batch is
+        sharded over the mesh's 'data' axis and params are replicated, so
+        XLA inserts the cross-device gradient all-reduce. Works single- and
+        multi-host (call parallel.mesh.init_distributed() FIRST on multi-
+        host; each host then feeds its BatchIterator shard and the global
+        batch is assembled via make_array_from_process_local_data)."""
+        from vilco_tpu.parallel.mesh import make_mesh
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        data_size = self.mesh.shape.get("data", 1)
+        B = self.cfg.loader.batch_size * jax.process_count()
+        assert B % data_size == 0, (
+            f"global batch {B} not divisible by data-mesh size {data_size}"
+        )
+        return self
+
+    def _shard_state(self, tree):
+        """Replicate a pytree (train state) across the mesh for pure DP."""
+        if self.mesh is None:
+            return tree
+        from vilco_tpu.parallel.mesh import replicated
+
+        return jax.device_put(tree, replicated(tree, self.mesh))
+
     def _to_device(self, batch):
-        return {k: jnp.asarray(v) for k, v in batch.items()
-                if k != "video_idx"}
+        batch = {k: v for k, v in batch.items() if k != "video_idx"}
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from vilco_tpu.parallel.mesh import batch_shardings
+
+        shardings = batch_shardings(batch, self.mesh)
+        if jax.process_count() > 1:
+            return {
+                k: jax.make_array_from_process_local_data(
+                    shardings[k], np.asarray(v)
+                )
+                for k, v in batch.items()
+            }
+        return {k: jax.device_put(jnp.asarray(v), shardings[k])
+                for k, v in batch.items()}
 
     # ------------------------------------------------------------------
     def snapshot_logits(self, params, videos) -> Dict[str, np.ndarray]:
@@ -267,6 +309,7 @@ class EpisodeRunner:
             rng=jax.random.PRNGKey(cfg.init_rand_seed + j),
             adapter_ema=adapter_ema,
         )
+        state = self._shard_state(state)
 
         prev_logits_map = None
         if use_distill:

@@ -113,7 +113,7 @@ def clean_box_flags(track: Dict[int, List[float]],
 # ----------------------------------------------------------------------
 
 def load_vq_annotations(json_path: str, split: str = "train",
-                        clean: bool = True) -> List[dict]:
+                        clean: bool = False) -> List[dict]:
     """Ego4D vq_{train,val}.json -> runner sample dicts.
 
     Walks videos -> clips -> annotations -> query_sets exactly like the
@@ -121,6 +121,11 @@ def load_vq_annotations(json_path: str, split: str = "train",
     emits the VQEpisodeRunner schema:
       {id, category, clip_uid, num_frames, query_frame, track,
        valid_range, visual_crop, original_hw, clip_fps}
+
+    `clean` applies the `_process_bbox` size/ratio filter — default OFF to
+    match the reference, which defines the filter but comments it out at
+    both call sites (base_dataset.py:336, :807); never clean GT used for
+    metric evaluation.
     """
     with open(json_path) as f:
         data = json.load(f)
@@ -283,7 +288,8 @@ class VideoFrameSource(_BaseFrameSource):
                 raise FileNotFoundError(f"cannot open clip {path}")
             self._cap, self._cap_path = cap, path
             self._vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            fps = int(round(cap.get(cv2.CAP_PROP_FPS) or 0))
+            # truncate like the reference's int(get_avg_fps())
+            fps = int(cap.get(cv2.CAP_PROP_FPS) or 0)
             self._down_rate = max(fps // int(sample.get("clip_fps", 5)), 1)
         return self._cap
 

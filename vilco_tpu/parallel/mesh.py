@@ -91,6 +91,8 @@ def init_distributed() -> tuple:
     `init_process_group("nccl")` + torchrun rendezvous (MQ/train_cl.py:52,
     VQ/utils/dist_utils.py:31-43).
 
+    MUST run before anything initializes the XLA backend (jax.devices(),
+    model init, even jax.process_count()) — train_cl calls it first thing.
     Calls `jax.distributed.initialize()` when a coordinator is configured
     (JAX_COORDINATOR_ADDRESS env or TPU-pod metadata via megascale env
     vars); otherwise a single-process no-op. Returns
@@ -100,9 +102,11 @@ def init_distributed() -> tuple:
     """
     import os
 
-    if jax.process_count() > 1:          # already initialized
-        return jax.process_index(), jax.process_count()
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
             "MEGASCALE_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()

@@ -125,7 +125,10 @@ def load_tal_database(
 
 def _make_tal(name: str, train_splits, val_splits):
     def factory(json_file: str, split: str = "train", **kw):
-        splits = train_splits if split == "train" else val_splits
+        # accept both our split word and the schema's subset literal
+        # ("train"/"training" etc.)
+        splits = (train_splits if split.lower().startswith("train")
+                  else val_splits)
         videos, label_dict = load_tal_database(json_file, splits, **kw)
         return {"videos": videos, "label_dict": label_dict,
                 "attributes": TAL_ATTRIBUTES[name]}

@@ -180,7 +180,8 @@ class VQEpisodeRunner:
                  method: str = "naive", memory_size: int = 0,
                  reg_lambda: float = 0.0, epochs: int = 4,
                  batch_size: int = 2, lr: float = 1e-3, seed: int = 0,
-                 use_hnm: bool = False, augment: bool = False):
+                 use_hnm: bool = False, augment: bool = False,
+                 eval_windows: int = 8):
         self.stream = stream
         self.source = source
         self.workdir = workdir
@@ -196,6 +197,9 @@ class VQEpisodeRunner:
         self.seed = seed
         self.use_hnm = use_hnm
         self.augment = augment
+        # inference windows batched per jitted call (fixed chunk size ->
+        # one compile; bounds host+device memory on long real clips)
+        self.eval_windows = eval_windows
         self._aug_key = jax.random.PRNGKey(seed + 99)
 
         self.model = ClipMatcher(
@@ -358,38 +362,43 @@ class VQEpisodeRunner:
         (task_inference_predict.py:30-150) -> per-frame top bbox/prob ->
         peak finding -> ResponseTrack.
 
-        All windows of a clip run as ONE batched jitted call (the
-        reference dispatches window-by-window per mp worker,
-        inference_predict.py:26-93); the batch is padded to a power-of-2
-        bucket so repeat clips reuse the compiled executable."""
+        Windows run through the jitted step in fixed-size chunks of
+        `eval_windows` (the reference dispatches window-by-window per mp
+        worker, inference_predict.py:26-93). The chunk size is FIXED so
+        every clip reuses one compiled executable, and frames are fetched
+        per chunk so host memory stays bounded on long real clips."""
         query = self.source.query(sample)
         T = sample["num_frames"]
         w = self.window
         starts = [max(min(s, T - w), 0) for s in range(0, T, w)]
         win_idxs = [np.minimum(np.arange(s, s + w), T - 1) for s in starts]
-        clips = np.stack([self._fetch_frames(sample, ix) for ix in win_idxs])
         n = len(starts)
-        bucket = 1 << (n - 1).bit_length()          # pad to power of 2
-        if bucket > n:
-            clips = np.concatenate(
-                [clips, np.repeat(clips[-1:], bucket - n, axis=0)]
-            )
-        queries = jnp.asarray(
-            np.repeat(query[None], bucket, axis=0)
-        )
-        bbox_b, prob_b = self.eval_step(self.params, jnp.asarray(clips),
-                                        queries)
-        bbox_b = np.asarray(bbox_b[:n])
-        prob_b = np.asarray(prob_b[:n])
+        chunk = max(min(self.eval_windows, 1 << (n - 1).bit_length()), 1)
+        queries = jnp.asarray(np.repeat(query[None], chunk, axis=0))
         scores = np.zeros((T,), np.float64)
         boxes = np.zeros((T, 4), np.float64)
         counts = np.zeros((T,), np.int64)
-        for bi, idxs in enumerate(win_idxs):
-            for i, f in enumerate(idxs):
-                if counts[f] == 0 or prob_b[bi, i] > scores[f]:
-                    scores[f] = prob_b[bi, i]
-                    boxes[f] = bbox_b[bi, i]
-                counts[f] += 1
+        for c0 in range(0, n, chunk):
+            sel = win_idxs[c0:c0 + chunk]
+            clips = np.stack(
+                [self._fetch_frames(sample, ix) for ix in sel]
+            )
+            if len(sel) < chunk:   # pad the tail chunk by repetition
+                clips = np.concatenate(
+                    [clips,
+                     np.repeat(clips[-1:], chunk - len(sel), axis=0)]
+                )
+            bbox_b, prob_b = self.eval_step(
+                self.params, jnp.asarray(clips), queries
+            )
+            bbox_b = np.asarray(bbox_b[:len(sel)])
+            prob_b = np.asarray(prob_b[:len(sel)])
+            for bi, idxs in enumerate(sel):
+                for i, f in enumerate(idxs):
+                    if counts[f] == 0 or prob_b[bi, i] > scores[f]:
+                        scores[f] = prob_b[bi, i]
+                        boxes[f] = bbox_b[bi, i]
+                    counts[f] += 1
         # to pixel coords for the metrics
         boxes = boxes * self.frame_size
         return predictions_to_response_track(

@@ -58,64 +58,34 @@ def make_schedule(cfg: OptCfg, steps_per_epoch: int) -> optax.Schedule:
 
 def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
     sched = make_schedule(cfg, steps_per_epoch)
+    # `cfg.flatten` ravels the MOMENT update into one flat buffer
+    # (optax.flatten, identical math); the masked weight decay stays
+    # per-tensor — the mask is defined on the original tree. Measured
+    # SLOWER on TPU, faster on CPU — see RESULTS.md.
+    maybe_flat = optax.flatten if cfg.flatten else (lambda t: t)
     if cfg.type.lower() == "adamw":
         mu_dtype = jnp.bfloat16 if cfg.mu_dtype == "bfloat16" else None
         if cfg.second_moment == "factored":
             # Adafactor-style factored v + momentum: optimizer state drops
             # from 2 x params (f32) to row/col stats + one (optionally
             # bf16) momentum pytree — the remaining big HBM-traffic term
-            # of the flagship step after the fused kernels (RESULTS.md)
-            tx = optax.chain(
+            # of the flagship step after the fused kernels (RESULTS.md).
+            # Factored stats depend on per-tensor shapes, so only the
+            # momentum part can flatten.
+            moment = optax.chain(
                 optax.scale_by_factored_rms(),
-                optax.trace(decay=0.9, accumulator_dtype=mu_dtype),
-                optax.add_decayed_weights(
-                    cfg.weight_decay, mask=weight_decay_mask(params)
-                ),
-                optax.scale_by_learning_rate(sched),
+                maybe_flat(optax.trace(decay=0.9,
+                                       accumulator_dtype=mu_dtype)),
             )
         else:
-            tx = optax.chain(
-                optax.scale_by_adam(mu_dtype=mu_dtype),
-                optax.add_decayed_weights(
-                    cfg.weight_decay, mask=weight_decay_mask(params)
-                ),
-                optax.scale_by_learning_rate(sched),
-            )
+            moment = maybe_flat(optax.scale_by_adam(mu_dtype=mu_dtype))
     else:  # SGD + momentum
-        tx = optax.chain(
-            optax.trace(decay=cfg.momentum),
-            optax.add_decayed_weights(
-                cfg.weight_decay, mask=weight_decay_mask(params)
-            ),
-            optax.scale_by_learning_rate(sched),
-        )
-    if cfg.flatten:
-        # NOTE: masked weight decay must see the ORIGINAL tree, so the
-        # flat wrapper goes around the whole chain only when the mask is
-        # trivial; otherwise wrap adam alone and keep decay per-tensor.
-        tx = _flatten_keeping_decay(cfg, params, sched)
-    return tx, sched
-
-
-def _flatten_keeping_decay(cfg: OptCfg, params, sched):
-    """optax.flatten over the moment updates; decayed weights + lr stay
-    outside (decay is masked per-tensor and already cheap — one
-    multiply-add per leaf fuses into the unravel consumers)."""
-    mu_dtype = jnp.bfloat16 if cfg.mu_dtype == "bfloat16" else None
-    if cfg.second_moment == "factored":
-        # factored stats depend on per-tensor shapes — cannot flatten;
-        # flatten only the momentum part
-        inner = optax.chain(
-            optax.scale_by_factored_rms(),
-            optax.flatten(optax.trace(decay=0.9,
-                                      accumulator_dtype=mu_dtype)),
-        )
-    else:
-        inner = optax.flatten(optax.scale_by_adam(mu_dtype=mu_dtype))
-    return optax.chain(
-        inner,
+        moment = maybe_flat(optax.trace(decay=cfg.momentum))
+    tx = optax.chain(
+        moment,
         optax.add_decayed_weights(
             cfg.weight_decay, mask=weight_decay_mask(params)
         ),
         optax.scale_by_learning_rate(sched),
     )
+    return tx, sched
