@@ -209,6 +209,10 @@ class ClipMatcher(nn.Module):
     window_transformer: int = 5
     num_frames: int = 30
     freeze_backbone: bool = True
+    # activations/matmuls in bf16 (params stay f32; GroupNorm + outputs
+    # pinned f32) — the MXU path; set float32 to reproduce exact torch
+    # numerics
+    compute_dtype: str = "bfloat16"
 
     def setup(self):
         self.backbone = ViT(self.patch_size, self.vit_dim, self.vit_depth,
@@ -260,6 +264,9 @@ class ClipMatcher(nn.Module):
         stage — leading dim becomes B^2 (replicate_for_hnm :357-379).
         """
         B, T = clip.shape[:2]
+        dt = jnp.dtype(self.compute_dtype)
+        clip = clip.astype(dt)
+        query = query.astype(dt)
         if from_features:
             clip_feat = clip.reshape((B * T,) + clip.shape[2:])
             query_feat = query
