@@ -104,3 +104,22 @@ def test_fused_heads_match_per_level_loop():
     for fu, T in zip(fused_r, lens):
         assert fu.shape == (B, T, 2)
         assert (np.asarray(fu) >= 0).all()
+
+
+def test_dir_feature_source_aligns_folder_lengths(tmp_path):
+    """Multi-folder features with different strides align to the longest
+    before channel concat (ego4d.py:702-716 upsampling semantics)."""
+    import os
+
+    import numpy as np
+
+    from vilco_tpu.data.pipeline import DirFeatureSource
+
+    a, b = tmp_path / "fa", tmp_path / "fb"
+    os.makedirs(a), os.makedirs(b)
+    np.save(a / "clip1.npy", np.ones((8, 3), np.float32))
+    np.save(b / "clip1.npy", np.full((4, 2), 2.0, np.float32))
+    src = DirFeatureSource([str(a), str(b)], [".npy", ".npy"])
+    out = src({"id": "clip1"})
+    assert out.shape == (8, 5)
+    assert np.allclose(out[:, 3:], 2.0)

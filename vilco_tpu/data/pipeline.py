@@ -70,6 +70,14 @@ class DirFeatureSource:
                 with open(path, "rb") as f:
                     arr = np.asarray(pickle.load(f), dtype=np.float32)
             parts.append(arr)  # (T, C)
+        if len(parts) > 1:
+            # folders can disagree on T (different extractor strides); the
+            # reference aligns by upsampling each to max_seq_len before
+            # concat (ego4d.py:702-716) — align to the longest here and
+            # let ClipDataset do the final max_seq_len resize
+            t_max = max(p.shape[0] for p in parts)
+            parts = [p if p.shape[0] == t_max else linear_resize(p, t_max)
+                     for p in parts]
         return np.concatenate(parts, axis=-1)
 
 
