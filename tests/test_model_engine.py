@@ -304,3 +304,47 @@ def test_flatten_optimizer_matches_per_tensor():
         for kr, kf in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_flat)):
             np.testing.assert_allclose(np.asarray(kr), np.asarray(kf),
                                        rtol=2e-6, atol=2e-7)
+
+
+def test_fused_adamw_matches_optax_chain():
+    """FusedAdamW.fused_apply must track the optax chain bit-for-bit over
+    several steps (both mu dtypes), incl. the decay mask split."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vilco_tpu.core.config import OptCfg
+    from vilco_tpu.train.optim import FusedAdamW, make_optimizer, make_schedule
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": {"kernel": jnp.asarray(rng.standard_normal((6, 4), np.float32))},
+        "b": {"bias": jnp.asarray(rng.standard_normal((4,), np.float32))},
+    }
+    for mu in ("float32", "bfloat16"):
+        cfg = OptCfg(mu_dtype=mu)
+        tx, sched = make_optimizer(cfg, params, steps_per_epoch=10)
+        assert isinstance(tx, FusedAdamW)   # default-on
+        ref = tx._chain
+        s_f, s_r = tx.init(params), ref.init(params)
+        p_f, p_r = params, params
+        for i in range(4):
+            g = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.standard_normal(p.shape, np.float32)) * 0.1,
+                params,
+            )
+            p_f, s_f = tx.fused_apply(g, s_f, p_f)
+            u, s_r = ref.update(g, s_r, p_r)
+            p_r = optax.apply_updates(p_r, u)
+        for kf, kr in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_r)):
+            np.testing.assert_allclose(np.asarray(kf), np.asarray(kr),
+                                       rtol=1e-6, atol=1e-7)
+        # state counters advanced identically
+        assert int(s_f[0].count) == int(s_r[0].count) == 4
+        assert int(s_f[2].count) == int(s_r[2].count) == 4
+        for kf, kr in zip(jax.tree.leaves(s_f[0].nu),
+                          jax.tree.leaves(s_r[0].nu)):
+            np.testing.assert_allclose(np.asarray(kf), np.asarray(kr),
+                                       rtol=1e-6, atol=1e-8)

@@ -299,6 +299,10 @@ class OptCfg(_Base):
     # (optax.flatten): ~500 per-tensor Adam updates (~800 tiny kernels per
     # step in the profile) collapse into a few big ones. Exact same math.
     flatten: bool = False
+    # single-pass AdamW update (moments + decay + lr + apply in one
+    # tree_map; no materialized updates pytree) — same math as the optax
+    # chain, less HBM traffic. Ignored for sgd/factored/flatten.
+    fused_apply: bool = True
     ema_decay: float = 0.0          # model EMA (train_utils.py ModelEma); 0 = off
 
 

@@ -297,10 +297,17 @@ def make_train_step(
             )
             grads = jax.tree.map(lambda g: g * scale, grads)
             aux["metrics"]["grad_norm"] = gnorm
-        updates, new_opt_state = tx.update(
-            grads, state.opt_state, state.params
-        )
-        new_params = optax.apply_updates(state.params, updates)
+        if hasattr(tx, "fused_apply"):
+            # single-pass AdamW: no materialized updates pytree
+            # (optim.py::FusedAdamW)
+            new_params, new_opt_state = tx.fused_apply(
+                grads, state.opt_state, state.params
+            )
+        else:
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
 
         # adapter EMA (post_train_step, meta_archs.py:702-707)
         new_adapter_ema = state.adapter_ema

@@ -58,6 +58,9 @@ def make_schedule(cfg: OptCfg, steps_per_epoch: int) -> optax.Schedule:
 
 def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
     sched = make_schedule(cfg, steps_per_epoch)
+    if (cfg.fused_apply and cfg.type.lower() == "adamw"
+            and cfg.second_moment != "factored" and not cfg.flatten):
+        return FusedAdamW(cfg, params, sched), sched
     # `cfg.flatten` ravels the MOMENT update into one flat buffer
     # (optax.flatten, identical math); the masked weight decay stays
     # per-tensor — the mask is defined on the original tree. Measured
@@ -89,3 +92,75 @@ def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
         optax.scale_by_learning_rate(sched),
     )
     return tx, sched
+
+
+class FusedAdamW:
+    """AdamW whose whole update (moments + bias correction + weight decay
+    + lr + param apply) runs as ONE tree_map producing (p', mu', nu')
+    directly — no materialized `updates` pytree. The optax chain writes an
+    intermediate update tensor per param (~1.6 GB/step extra HBM traffic
+    at 202M params); this removes it with bit-equivalent math
+    (parity-tested against the optax chain in tests).
+
+    Exposes the optax interface (init/update) by delegating to an internal
+    reference chain, plus `fused_apply(grads, state, params) ->
+    (new_params, new_state)` for the hot path. State pytree is identical
+    to the optax chain's, so checkpoints interchange.
+    """
+
+    B1, B2, EPS = 0.9, 0.999, 1e-8
+
+    def __init__(self, cfg: OptCfg, params, sched):
+        self.sched = sched
+        self.wd = cfg.weight_decay
+        self.mask = weight_decay_mask(params)
+        self.mu_dtype = (jnp.bfloat16 if cfg.mu_dtype == "bfloat16"
+                         else None)
+        self._chain = optax.chain(
+            optax.scale_by_adam(mu_dtype=self.mu_dtype),
+            optax.add_decayed_weights(cfg.weight_decay, mask=self.mask),
+            optax.scale_by_learning_rate(sched),
+        )
+
+    def init(self, params):
+        return self._chain.init(params)
+
+    def update(self, grads, state, params=None):
+        return self._chain.update(grads, state, params)
+
+    def fused_apply(self, grads, state, params):
+        adam_s, masked_s, sched_s = state
+        count_inc = adam_s.count + 1
+        bc1 = 1.0 - self.B1 ** count_inc.astype(jnp.float32)
+        bc2 = 1.0 - self.B2 ** count_inc.astype(jnp.float32)
+        lr = self.sched(sched_s.count)
+
+        def upd(p, g, m, v, decay):
+            m2 = (1.0 - self.B1) * g + self.B1 * m
+            v2 = (1.0 - self.B2) * (g * g) + self.B2 * v
+            u = (m2 / bc1.astype(m2.dtype)) / (
+                jnp.sqrt(v2 / bc2.astype(v2.dtype)) + self.EPS
+            )
+            if decay:
+                u = u + self.wd * p
+            p2 = p - lr * u
+            if self.mu_dtype is not None:
+                m2 = m2.astype(self.mu_dtype)
+            return p2, m2, v2
+
+        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_m = treedef.flatten_up_to(adam_s.mu)
+        flat_v = treedef.flatten_up_to(adam_s.nu)
+        flat_d = treedef.flatten_up_to(self.mask)
+        out = [upd(p, g, m, v, d) for p, g, m, v, d in
+               zip(flat_p, flat_g, flat_m, flat_v, flat_d)]
+        new_p = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
+        new_m = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
+        new_v = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])
+        new_state = (
+            adam_s._replace(count=count_inc, mu=new_m, nu=new_v),
+            masked_s,
+            sched_s._replace(count=sched_s.count + 1),
+        )
+        return new_p, new_state
