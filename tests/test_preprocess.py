@@ -65,3 +65,17 @@ def test_adj_graph_counts_overlaps():
 def test_val_label_histogram():
     h = val_label_histogram(_anno())
     assert h == {"clipB": {1: 2}}
+
+
+def test_shipped_configs_parse_and_derive():
+    """The flagship YAML configs stay loadable and self-consistent."""
+    import os
+
+    from vilco_tpu.core.config import load_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("mq_vilco.yaml", "nlq_vilco.yaml"):
+        cfg = load_config(os.path.join(root, "configs", name))
+        assert cfg.model.embd_dim > 0
+        assert len(cfg.model.regression_range) == len(cfg.model.fpn_strides)
+        assert cfg.opt.epochs > 0
