@@ -48,6 +48,75 @@ REFERENCE_GPU_CLIPS_PER_S_ESTIMATE = 16.0
 REFERENCE_GPU_VQ_SAMPLES_PER_S_ESTIMATE = 2.0
 
 
+def bench_eval(args, cfg, model, params, points, batch_np, n_params,
+               accel, rng):
+    """Inference throughput: batched forward + on-device decode + NMS in
+    one jitted call. The reference's eval path is batch-1 with a host
+    round-trip into the C++ NMS op (meta_archs.py:1694-1736)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.data.synthetic import make_batch
+    from vilco_tpu.ops.decode import decode_and_nms_batch
+
+    t = cfg.test_cfg
+    B = cfg.loader.batch_size
+
+    @jax.jit
+    def eval_fn(params, feats, mask, class_mask):
+        out = model.apply({"params": params}, feats, mask,
+                          deterministic=True)
+        return decode_and_nms_batch(
+            points, out["cls_logits"], out["offsets"], out["fpn_mask"],
+            class_mask,
+            num_classes=cfg.model.num_classes,
+            pre_nms_topk=t.pre_nms_topk,
+            pre_nms_thresh=t.pre_nms_thresh,
+            duration_thresh=t.duration_thresh,
+            max_seg_num=t.max_seg_num,
+            iou_threshold=t.iou_threshold,
+            min_score=t.min_score,
+            nms_sigma=t.nms_sigma,
+            voting_thresh=t.voting_thresh,
+            use_soft_nms=t.nms_method == "soft",
+            multiclass=t.multiclass_nms,
+        )
+
+    class_mask = jax.device_put(
+        jnp.ones((cfg.model.num_classes,), bool), accel
+    )
+    batches = []
+    for _ in range(2):
+        b = make_batch(rng, B, cfg)
+        batches.append(jax.device_put(
+            (jnp.asarray(b["feats"]), jnp.asarray(b["mask"])), accel
+        ))
+    for i in range(args.warmup):
+        det = eval_fn(params, *batches[i % 2], class_mask)
+    float(det.scores[0, 0])
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        det = eval_fn(params, *batches[i % 2], class_mask)
+    float(det.scores[0, 0])
+    dt = time.perf_counter() - t0
+    value = args.steps * B / dt / jax.device_count()
+    print(json.dumps({
+        "metric": f"{args.model}_flagship_eval_throughput",
+        "value": round(value, 3),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(value / REFERENCE_GPU_CLIPS_PER_S_ESTIMATE, 3),
+        "detail": {
+            "batch": B, "steps": args.steps,
+            "step_ms": round(dt / args.steps * 1e3, 2),
+            "params_m": round(n_params / 1e6, 1),
+            "nms": t.nms_method, "max_seg_num": t.max_seg_num,
+            "devices": jax.device_count(),
+            "platform": jax.devices()[0].platform,
+            "baseline_estimated": True,
+        },
+    }))
+
+
 def bench_vq(args):
     """VQ ClipMatcher train-step throughput (samples/s/chip; one sample =
     one 30-frame 448^2 window + query through the frozen ViT-B/14-shaped
@@ -167,6 +236,10 @@ def main():
     p.add_argument("--scan-steps", type=int, default=4,
                    help="train steps fused per dispatch via lax.scan; "
                         "1 = plain per-step dispatch")
+    p.add_argument("--eval", action="store_true",
+                   help="benchmark INFERENCE instead: batched forward + "
+                        "on-device decode + NMS (the reference evals "
+                        "batch-1 with a CPU C++ NMS round-trip)")
     args = p.parse_args()
 
     import numpy as np
@@ -248,6 +321,9 @@ def main():
         level_lengths(cfg.model), cfg.model.fpn_strides,
         cfg.model.regression_range,
     ))
+    if args.eval:
+        return bench_eval(args, cfg, model, params, points, batch_np,
+                          n_params, accel, rng)
     K = max(args.scan_steps, 1)
     if K > 1:
         step = make_multi_train_step(model, tx, points, cfg, K)
