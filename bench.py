@@ -137,11 +137,15 @@ def bench_vq(args):
         B, T, S, P = (args.batch if args.batch != 8 else 4), 30, 448, 14
         vit = dict(vit_dim=768, vit_depth=12, vit_heads=12)  # ViT-B/14
         dim, rt, ra = 256, 8, 16
-    model = ClipMatcher(dim=dim, clip_size=S, patch_size=P,
-                        resolution_transformer=rt,
-                        resolution_anchor_feat=ra,
-                        num_transformer=3, window_transformer=5,
-                        num_frames=T, **vit)
+    mk = lambda fused: ClipMatcher(
+        dim=dim, clip_size=S, patch_size=P,
+        resolution_transformer=rt, resolution_anchor_feat=ra,
+        num_transformer=3, window_transformer=5,
+        num_frames=T, use_fused=fused, **vit)
+    # fused Pallas attention on the accelerator; the CPU init twin stays
+    # unfused (identical param tree — the kernels hold no params)
+    model = mk(jax.default_backend() != "cpu")
+    init_twin = mk(False)
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
@@ -162,7 +166,7 @@ def bench_vq(args):
 
     b0 = jax.tree.map(lambda x: jax.device_put(x, cpu), fresh_batch())
     with jax.default_device(cpu):
-        params = model.init(jax.random.PRNGKey(0), b0["clip"], b0["query"],
+        params = init_twin.init(jax.random.PRNGKey(0), b0["clip"], b0["query"],
                             deterministic=True)["params"]
     params = jax.device_put(params, accel)
     n_params = sum(x.size for x in jax.tree.leaves(params))

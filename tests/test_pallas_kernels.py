@@ -89,3 +89,29 @@ def test_fused_full_attention_grads_match(rng, monkeypatch):
     g2 = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_attention_padded_unaligned_length():
+    """The ViT pad-to-128 trick (models/vit.py): padding keys/queries with
+    a False kv_mask and slicing the output back must equal dense masked
+    attention on the unpadded length (L=70 -> 128 here; 1025 -> 1152 on
+    the real ViT)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vilco_tpu.kernels.attention import fused_attention
+    from vilco_tpu.ops.attention import masked_attention
+
+    rng = np.random.default_rng(0)
+    B, L, H, D = 2, 70, 2, 8
+    pad = (-L) % 128
+    q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, D)).astype(
+        np.float32)) for _ in range(3))
+    ref = masked_attention(q, k, v, jnp.ones((B, L), bool))
+    padw = ((0, 0), (0, pad), (0, 0), (0, 0))
+    qp, kp, vp = (jnp.pad(t, padw) for t in (q, k, v))
+    kv_mask = jnp.broadcast_to(jnp.arange(L + pad)[None, :] < L,
+                               (B, L + pad))
+    out = fused_attention(qp, kp, vp, kv_mask, interpret=True)[:, :L]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

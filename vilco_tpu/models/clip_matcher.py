@@ -83,6 +83,7 @@ class DecoderLayer(nn.Module):
     dim: int
     num_heads: int
     ff: int
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x, mem):
@@ -96,12 +97,20 @@ class DecoderLayer(nn.Module):
             q = q.reshape(B, Lq, H, C // H)
             k = k.reshape(B, Lk, H, C // H)
             v = v.reshape(B, Lk, H, C // H)
-            scale = (C // H) ** -0.5
-            a = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                           preferred_element_type=jnp.float32)
-            a = jax.nn.softmax(a, axis=-1).astype(x.dtype)
-            o = jnp.einsum("bhqk,bkhd->bqhd", a, v,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+            if self.use_fused and Lq % 128 == 0 and Lk % 128 == 0:
+                from vilco_tpu.kernels.attention import fused_attention
+
+                o = fused_attention(
+                    q, k, v, jnp.ones((B, Lk), bool)
+                )
+            else:
+                scale = (C // H) ** -0.5
+                a = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                               preferred_element_type=jnp.float32)
+                a = jax.nn.softmax(a, axis=-1).astype(x.dtype)
+                o = jnp.einsum("bhqk,bkhd->bqhd", a, v,
+                               preferred_element_type=jnp.float32
+                               ).astype(x.dtype)
             return nn.Dense(C, name=f"{name}_o", dtype=x.dtype)(
                 o.reshape(B, Lq, C)
             )
@@ -213,13 +222,19 @@ class ClipMatcher(nn.Module):
     # pinned f32) — the MXU path; set float32 to reproduce exact torch
     # numerics
     compute_dtype: str = "bfloat16"
+    # Pallas fused attention in the ViT + cross-attention (TPU only): the
+    # XLA form materializes ~6 GB of f32 scores PER ViT LAYER at the
+    # flagship shape
+    use_fused: bool = False
 
     def setup(self):
         self.backbone = ViT(self.patch_size, self.vit_dim, self.vit_depth,
-                            self.vit_heads)
+                            self.vit_heads, use_fused=self.use_fused)
         self.reduce1 = ConvBlock2D(self.dim, name="reduce1")
         self.reduce2 = ConvBlock2D(self.dim, name="reduce2")
-        self.cq_corr = DecoderLayer(self.dim, 4, 4 * self.dim, name="cq_corr")
+        self.cq_corr = DecoderLayer(self.dim, 4, 4 * self.dim,
+                                    use_fused=self.use_fused,
+                                    name="cq_corr")
         feat_res = self.clip_size // self.patch_size
         self.n_down = max(0, int(math.log2(max(
             feat_res // self.resolution_transformer, 1

@@ -28,6 +28,11 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    # Pallas fused attention (TPU): the XLA form materializes the
+    # (B, H, L, L) score tensor in HBM — at the VQ flagship shape that is
+    # ~6 GB f32 PER LAYER (120 frames x 12 heads x 1025^2) and dominates
+    # the step. L pads to the next 128 multiple for the kernel grid.
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -37,12 +42,25 @@ class ViTBlock(nn.Module):
         qkv = nn.Dense(3 * C, name="qkv", dtype=x.dtype)(h)
         qkv = qkv.reshape(B, L, 3, H, C // H)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = (C // H) ** -0.5
-        att = jnp.einsum("blhd,bmhd->bhlm", q * scale, k,
-                         preferred_element_type=jnp.float32)
-        att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhlm,bmhd->blhd", att, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_fused:
+            from vilco_tpu.kernels.attention import fused_attention
+
+            pad = (-L) % 128
+            if pad:
+                padw = ((0, 0), (0, pad), (0, 0), (0, 0))
+                q, k, v = (jnp.pad(t, padw) for t in (q, k, v))
+            kv_mask = jnp.broadcast_to(
+                jnp.arange(L + pad)[None, :] < L, (B, L + pad)
+            )
+            out = fused_attention(q, k, v, kv_mask)[:, :L]
+        else:
+            scale = (C // H) ** -0.5
+            att = jnp.einsum("blhd,bmhd->bhlm", q * scale, k,
+                             preferred_element_type=jnp.float32)
+            att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhlm,bmhd->blhd", att, v,
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
         out = nn.Dense(C, name="proj", dtype=x.dtype)(out.reshape(B, L, C))
         x = x + out
         h = nn.LayerNorm(name="norm2", dtype=x.dtype)(x)
@@ -57,6 +75,7 @@ class ViT(nn.Module):
     dim: int = 768
     depth: int = 12
     num_heads: int = 12
+    use_fused: bool = False     # Pallas fused attention (TPU only)
 
     @nn.compact
     def __call__(self, images):
@@ -74,7 +93,8 @@ class ViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), x], 1)
         x = x + pos.astype(x.dtype)
         for i in range(self.depth):
-            x = ViTBlock(self.dim, self.num_heads, name=f"block_{i}")(x)
+            x = ViTBlock(self.dim, self.num_heads,
+                         use_fused=self.use_fused, name=f"block_{i}")(x)
         x = nn.LayerNorm(name="norm", dtype=x.dtype)(x)
         return x[:, 1:].reshape(B, hh, ww, self.dim)
 
