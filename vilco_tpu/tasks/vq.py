@@ -181,7 +181,7 @@ class VQEpisodeRunner:
                  reg_lambda: float = 0.0, epochs: int = 4,
                  batch_size: int = 2, lr: float = 1e-3, seed: int = 0,
                  use_hnm: bool = False, augment: bool = False,
-                 eval_windows: int = 8):
+                 eval_windows: int = 8, use_fused: bool = False):
         self.stream = stream
         self.source = source
         self.workdir = workdir
@@ -208,7 +208,7 @@ class VQEpisodeRunner:
             resolution_transformer=frame_size // 8,
             resolution_anchor_feat=frame_size // 8,
             num_transformer=1, window_transformer=5,
-            num_frames=window,
+            num_frames=window, use_fused=use_fused,
         )
         rng = jax.random.PRNGKey(seed)
         clip0 = jnp.zeros((1, window, frame_size, frame_size, 3))

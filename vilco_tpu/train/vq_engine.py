@@ -195,8 +195,16 @@ def make_vq_train_step(
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if hasattr(tx, "fused_apply"):
+            # single-pass AdamW (optim.py::FusedAdamW)
+            params, opt_state = tx.fused_apply(
+                grads, state.opt_state, state.params
+            )
+        else:
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
         return state.replace(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng
         ), metrics
