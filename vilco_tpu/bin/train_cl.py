@@ -160,6 +160,10 @@ def main(argv=None):
             )
             per = args.vq_categories_per_task
             stream = VQTaskStream(*group_splits(train_s, val_s, per))
+            if args.joint:
+                from vilco_tpu.tasks.vq import merge_vq_tasks
+
+                stream = merge_vq_tasks(stream)
             if args.vq_images_dir:
                 source = FrameDirSource(args.vq_images_dir,
                                         frame_size=args.vq_frame_size)
@@ -197,6 +201,11 @@ def main(argv=None):
             rng, num_tasks=args.num_tasks or 3
         )
         stream = VQTaskStream(train_tasks, val_tasks)
+        if args.joint:
+            # non-CL upper bound (VQ/train_anchor.py)
+            from vilco_tpu.tasks.vq import merge_vq_tasks
+
+            stream = merge_vq_tasks(stream)
         runner = VQEpisodeRunner(
             stream, SyntheticVQSource(), args.workdir,
             method=args.method or "naive",

@@ -83,6 +83,20 @@ class VQTaskStream:
         return memory_size // max(n_categories, 1)
 
 
+def merge_vq_tasks(stream: VQTaskStream) -> VQTaskStream:
+    """Collapse all tasks into one — the reference's non-CL trainer
+    (VQ/train_anchor.py) upper bound."""
+
+    def merge(tasks):
+        cats = {}
+        for t in tasks.values():
+            for c, samples in t.items():
+                cats.setdefault(c, []).extend(samples)
+        return {0: cats}
+
+    return VQTaskStream(merge(stream.train_tasks), merge(stream.val_tasks))
+
+
 class SyntheticVQSource:
     """Renders clips with a moving bright patch; the lit color channel is a
     hash of the sample's category, and the query crop shows the same patch.
