@@ -48,8 +48,7 @@ REFERENCE_GPU_CLIPS_PER_S_ESTIMATE = 16.0
 REFERENCE_GPU_VQ_SAMPLES_PER_S_ESTIMATE = 2.0
 
 
-def bench_eval(args, cfg, model, params, points, batch_np, n_params,
-               accel, rng):
+def bench_eval(args, cfg, model, params, points, n_params, accel, rng):
     """Inference throughput: batched forward + on-device decode + NMS in
     one jitted call. The reference's eval path is batch-1 with a host
     round-trip into the C++ NMS op (meta_archs.py:1694-1736)."""
@@ -63,8 +62,9 @@ def bench_eval(args, cfg, model, params, points, batch_np, n_params,
     B = cfg.loader.batch_size
 
     @jax.jit
-    def eval_fn(params, feats, mask, class_mask):
+    def eval_fn(params, feats, mask, text, text_mask, class_mask):
         out = model.apply({"params": params}, feats, mask,
+                          text=text, text_mask=text_mask,
                           deterministic=True)
         return decode_and_nms_batch(
             points, out["cls_logits"], out["offsets"], out["fpn_mask"],
@@ -89,9 +89,12 @@ def bench_eval(args, cfg, model, params, points, batch_np, n_params,
     for _ in range(2):
         b = make_batch(rng, B, cfg)
         batches.append(jax.device_put(
-            (jnp.asarray(b["feats"]), jnp.asarray(b["mask"])), accel
+            (jnp.asarray(b["feats"]), jnp.asarray(b["mask"]),
+             jnp.asarray(b["text"]) if "text" in b else None,
+             jnp.asarray(b["text_mask"]) if "text_mask" in b else None),
+            accel,
         ))
-    for i in range(args.warmup):
+    for i in range(max(args.warmup, 1)):   # >=1: bind det + compile
         det = eval_fn(params, *batches[i % 2], class_mask)
     float(det.scores[0, 0])
     t0 = time.perf_counter()
@@ -99,7 +102,9 @@ def bench_eval(args, cfg, model, params, points, batch_np, n_params,
         det = eval_fn(params, *batches[i % 2], class_mask)
     float(det.scores[0, 0])
     dt = time.perf_counter() - t0
-    value = args.steps * B / dt / jax.device_count()
+    # eval_fn is a single-device jit pinned to `accel` — per-chip by
+    # construction, no device_count division
+    value = args.steps * B / dt
     print(json.dumps({
         "metric": f"{args.model}_flagship_eval_throughput",
         "value": round(value, 3),
@@ -326,7 +331,7 @@ def main():
         cfg.model.regression_range,
     ))
     if args.eval:
-        return bench_eval(args, cfg, model, params, points, batch_np,
+        return bench_eval(args, cfg, model, params, points,
                           n_params, accel, rng)
     K = max(args.scan_steps, 1)
     if K > 1:

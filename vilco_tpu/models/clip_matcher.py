@@ -69,10 +69,13 @@ class ConvBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        dt = x.dtype
         x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    name="conv", dtype=x.dtype)(x)
+                    name="conv", dtype=dt)(x)
+        # GroupNorm stats in f32; cast BACK so bf16 compute survives the
+        # block (otherwise everything downstream silently runs f32)
         x = nn.GroupNorm(num_groups=min(32, self.features), name="norm",
-                         dtype=jnp.float32)(x)
+                         dtype=jnp.float32)(x).astype(dt)
         return nn.leaky_relu(x)
 
 

@@ -31,8 +31,10 @@ class ViTBlock(nn.Module):
     # Pallas fused attention (TPU): the XLA form materializes the
     # (B, H, L, L) score tensor in HBM — at the VQ flagship shape that is
     # ~6 GB f32 PER LAYER (120 frames x 12 heads x 1025^2) and dominates
-    # the step. L pads to the next 128 multiple for the kernel grid.
+    # the step. The token axis is padded ONCE in ViT.__call__; valid_len
+    # is the unpadded token count (0 = all valid).
     use_fused: bool = False
+    valid_len: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -45,14 +47,14 @@ class ViTBlock(nn.Module):
         if self.use_fused:
             from vilco_tpu.kernels.attention import fused_attention
 
-            pad = (-L) % 128
-            if pad:
-                padw = ((0, 0), (0, pad), (0, 0), (0, 0))
-                q, k, v = (jnp.pad(t, padw) for t in (q, k, v))
+            # the ViT pads the TOKEN AXIS once before the block stack
+            # (see ViT.__call__), so L is already 128-aligned here and
+            # pad tokens are masked out as keys
+            valid = self.valid_len if self.valid_len else L
             kv_mask = jnp.broadcast_to(
-                jnp.arange(L + pad)[None, :] < L, (B, L + pad)
+                jnp.arange(L)[None, :] < valid, (B, L)
             )
-            out = fused_attention(q, k, v, kv_mask)[:, :L]
+            out = fused_attention(q, k, v, kv_mask)
         else:
             scale = (C // H) ** -0.5
             att = jnp.einsum("blhd,bmhd->bhlm", q * scale, k,
@@ -92,9 +94,19 @@ class ViT(nn.Module):
                          (1, hh * ww + 1, self.dim), jnp.float32)
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), x], 1)
         x = x + pos.astype(x.dtype)
+        L = x.shape[1]
+        pad = (-L) % 128 if self.use_fused else 0
+        if pad:
+            # pad the token axis ONCE for the fused kernel's 128 grid;
+            # pad tokens are masked out as attention keys in every block
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         for i in range(self.depth):
             x = ViTBlock(self.dim, self.num_heads,
-                         use_fused=self.use_fused, name=f"block_{i}")(x)
+                         use_fused=self.use_fused,
+                         valid_len=L if pad else 0,
+                         name=f"block_{i}")(x)
+        if pad:
+            x = x[:, :L]
         x = nn.LayerNorm(name="norm", dtype=x.dtype)(x)
         return x[:, 1:].reshape(B, hh, ww, self.dim)
 
