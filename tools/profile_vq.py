@@ -11,7 +11,7 @@ B, T, S, P = 4, 30, 448, 14
 model = ClipMatcher(dim=256, clip_size=S, patch_size=P, vit_dim=768,
                     vit_depth=12, vit_heads=12, resolution_transformer=8,
                     resolution_anchor_feat=16, num_transformer=3,
-                    window_transformer=5, num_frames=T)
+                    window_transformer=5, num_frames=T, use_fused=True)
 cpu = jax.devices("cpu")[0]; accel = jax.devices()[0]
 rng = np.random.default_rng(0)
 def fresh():
@@ -22,7 +22,8 @@ def fresh():
             "before_query": jnp.ones((B,T), jnp.float32)}
 b0 = jax.tree.map(lambda x: jax.device_put(x, cpu), fresh())
 with jax.default_device(cpu):
-    params = model.init(jax.random.PRNGKey(0), b0["clip"], b0["query"], deterministic=True)["params"]
+    # unfused twin init on CPU — the Pallas kernels hold no params
+    params = model.clone(use_fused=False).init(jax.random.PRNGKey(0), b0["clip"], b0["query"], deterministic=True)["params"]
 params = jax.device_put(params, accel)
 tx = optax.adamw(1e-4, weight_decay=1e-4)
 with jax.default_device(cpu):
