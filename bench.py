@@ -7,10 +7,12 @@ Measures the jitted train step of the flagship MQ point-transformer
 (embd 1024, T=1024, arch (2,2,9), 110 classes, XL stage — mirroring
 configs/mq_vilco.yaml) on synthetic feature batches. Defaults: batch 8,
 4 lax.scan-fused steps per dispatch, fused XL + fused full-attention
-Pallas kernels — 117 clips/s/chip measured on one v5e (68.3 ms/step; the
-XLA attention path measures 77). The reference's batch-2 setting:
-`--batch 2 --scan-steps 1`. `--model nlq` benches the dual-tower NLQ
-flagship (230 clips/s/chip).
+Pallas kernels + single-pass fused AdamW — 118.5 clips/s/chip measured
+on one v5e (67.5 ms/step; the XLA attention path measures 77; batch 16
+measures 128). The reference's batch-2 setting: `--batch 2
+--scan-steps 1`. `--model nlq` benches the dual-tower NLQ flagship (231
+clips/s/chip); `--model vq` the frozen-ViT tracker; `--eval` the
+batched inference+NMS path.
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
 constant below is an estimate of the reference PyTorch pipeline's training
