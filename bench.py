@@ -171,10 +171,16 @@ def bench_vq(args):
             "before_query": jnp.ones((B, T), jnp.float32),
         }
 
-    b0 = jax.tree.map(lambda x: jax.device_put(x, cpu), fresh_batch())
+    # init with a (1, 1, S, S, 3) clip: params are batch/time-shape
+    # independent and the full-size init forward costs ~15 min on the
+    # 1-core host CPU
     with jax.default_device(cpu):
-        params = init_twin.init(jax.random.PRNGKey(0), b0["clip"], b0["query"],
-                            deterministic=True)["params"]
+        params = init_twin.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 1, S, S, 3), jnp.float32),
+            jnp.zeros((1, S, S, 3), jnp.float32),
+            deterministic=True,
+        )["params"]
     params = jax.device_put(params, accel)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     tx = optax.adamw(1e-4, weight_decay=1e-4)

@@ -23,7 +23,7 @@ def fresh():
 b0 = jax.tree.map(lambda x: jax.device_put(x, cpu), fresh())
 with jax.default_device(cpu):
     # unfused twin init on CPU — the Pallas kernels hold no params
-    params = model.clone(use_fused=False).init(jax.random.PRNGKey(0), b0["clip"], b0["query"], deterministic=True)["params"]
+    params = model.clone(use_fused=False).init(jax.random.PRNGKey(0), jnp.zeros((1,1,S,S,3), jnp.float32), jnp.zeros((1,S,S,3), jnp.float32), deterministic=True)["params"]
 params = jax.device_put(params, accel)
 tx = optax.adamw(1e-4, weight_decay=1e-4)
 with jax.default_device(cpu):
