@@ -144,11 +144,12 @@ def bench_vq(args):
         B, T, S, P = (args.batch if args.batch != 8 else 4), 30, 448, 14
         vit = dict(vit_dim=768, vit_depth=12, vit_heads=12)  # ViT-B/14
         dim, rt, ra = 256, 8, 16
+    vit_impl = "pallas" if args.attn == "pallas_naive" else "flash"
     mk = lambda fused: ClipMatcher(
         dim=dim, clip_size=S, patch_size=P,
         resolution_transformer=rt, resolution_anchor_feat=ra,
         num_transformer=3, window_transformer=5,
-        num_frames=T, use_fused=fused, **vit)
+        num_frames=T, use_fused=fused, vit_attn_impl=vit_impl, **vit)
     # fused Pallas attention on the accelerator; the CPU init twin stays
     # unfused (identical param tree — the kernels hold no params)
     model = mk(jax.default_backend() != "cpu")

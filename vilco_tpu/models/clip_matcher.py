@@ -225,14 +225,16 @@ class ClipMatcher(nn.Module):
     # pinned f32) — the MXU path; set float32 to reproduce exact torch
     # numerics
     compute_dtype: str = "bfloat16"
-    # Pallas fused attention in the ViT + cross-attention (TPU only): the
-    # XLA form materializes ~6 GB of f32 scores PER ViT LAYER at the
-    # flagship shape
+    # Fused attention in the ViT + cross-attention (TPU only): the XLA
+    # form materializes ~6 GB of f32 scores PER ViT LAYER at the flagship
+    # shape. vit_attn_impl: "flash" (jax production kernel) | "pallas"
     use_fused: bool = False
+    vit_attn_impl: str = "flash"
 
     def setup(self):
         self.backbone = ViT(self.patch_size, self.vit_dim, self.vit_depth,
-                            self.vit_heads, use_fused=self.use_fused)
+                            self.vit_heads, use_fused=self.use_fused,
+                            attn_impl=self.vit_attn_impl)
         self.reduce1 = ConvBlock2D(self.dim, name="reduce1")
         self.reduce2 = ConvBlock2D(self.dim, name="reduce2")
         self.cq_corr = DecoderLayer(self.dim, 4, 4 * self.dim,

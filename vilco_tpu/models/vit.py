@@ -28,13 +28,16 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
-    # Pallas fused attention (TPU): the XLA form materializes the
-    # (B, H, L, L) score tensor in HBM — at the VQ flagship shape that is
-    # ~6 GB f32 PER LAYER (120 frames x 12 heads x 1025^2) and dominates
-    # the step. The token axis is padded ONCE in ViT.__call__; valid_len
-    # is the unpadded token count (0 = all valid).
+    # Fused attention (TPU): the XLA form materializes the (B, H, L, L)
+    # score tensor in HBM — at the VQ flagship shape that is ~6 GB f32
+    # PER LAYER (120 frames x 12 heads x 1025^2) and dominates the step.
+    # The token axis is padded ONCE in ViT.__call__; valid_len is the
+    # unpadded token count (0 = all valid). attn_impl picks the kernel:
+    # "pallas" (kernels/attention.py) or "flash" (jax's production TPU
+    # flash kernel — more parallelism-friendly at B*H=1440).
     use_fused: bool = False
     valid_len: int = 0
+    attn_impl: str = "flash"
 
     @nn.compact
     def __call__(self, x):
@@ -42,10 +45,17 @@ class ViTBlock(nn.Module):
         H = self.num_heads
         h = nn.LayerNorm(name="norm1", dtype=x.dtype)(x)
         qkv = nn.Dense(3 * C, name="qkv", dtype=x.dtype)(h)
-        qkv = qkv.reshape(B, L, 3, H, C // H)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # contiguous thirds == reshape(B, L, 3, H, D) slices, without the
+        # 5-D reshape + middle-axis gather (measured ~90 ms/step of
+        # transpose/reshape at the VQ flagship shape)
+        q = qkv[..., :C].reshape(B, L, H, C // H)
+        k = qkv[..., C:2 * C].reshape(B, L, H, C // H)
+        v = qkv[..., 2 * C:].reshape(B, L, H, C // H)
         if self.use_fused:
-            from vilco_tpu.kernels.attention import fused_attention
+            from vilco_tpu.kernels.attention import (
+                flash_attention_jax,
+                fused_attention,
+            )
 
             # the ViT pads the TOKEN AXIS once before the block stack
             # (see ViT.__call__), so L is already 128-aligned here and
@@ -54,7 +64,10 @@ class ViTBlock(nn.Module):
             kv_mask = jnp.broadcast_to(
                 jnp.arange(L)[None, :] < valid, (B, L)
             )
-            out = fused_attention(q, k, v, kv_mask)
+            if self.attn_impl == "flash":
+                out = flash_attention_jax(q, k, v, kv_mask)
+            else:
+                out = fused_attention(q, k, v, kv_mask)
         else:
             scale = (C // H) ** -0.5
             att = jnp.einsum("blhd,bmhd->bhlm", q * scale, k,
@@ -77,7 +90,8 @@ class ViT(nn.Module):
     dim: int = 768
     depth: int = 12
     num_heads: int = 12
-    use_fused: bool = False     # Pallas fused attention (TPU only)
+    use_fused: bool = False     # fused attention kernels (TPU only)
+    attn_impl: str = "flash"    # "flash" | "pallas" (see ViTBlock)
 
     @nn.compact
     def __call__(self, images):
@@ -104,6 +118,7 @@ class ViT(nn.Module):
             x = ViTBlock(self.dim, self.num_heads,
                          use_fused=self.use_fused,
                          valid_len=L if pad else 0,
+                         attn_impl=self.attn_impl,
                          name=f"block_{i}")(x)
         if pad:
             x = x[:, :L]
