@@ -144,7 +144,7 @@ def bench_vq(args):
         B, T, S, P = (args.batch if args.batch != 8 else 4), 30, 448, 14
         vit = dict(vit_dim=768, vit_depth=12, vit_heads=12)  # ViT-B/14
         dim, rt, ra = 256, 8, 16
-    vit_impl = "pallas" if args.attn == "pallas_naive" else "flash"
+    vit_impl = "flash" if args.attn == "flash" else "pallas"
     mk = lambda fused: ClipMatcher(
         dim=dim, clip_size=S, patch_size=P,
         resolution_transformer=rt, resolution_anchor_feat=ra,

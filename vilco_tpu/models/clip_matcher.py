@@ -229,7 +229,7 @@ class ClipMatcher(nn.Module):
     # form materializes ~6 GB of f32 scores PER ViT LAYER at the flagship
     # shape. vit_attn_impl: "flash" (jax production kernel) | "pallas"
     use_fused: bool = False
-    vit_attn_impl: str = "flash"
+    vit_attn_impl: str = "pallas"
 
     def setup(self):
         self.backbone = ViT(self.patch_size, self.vit_dim, self.vit_depth,

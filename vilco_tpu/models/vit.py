@@ -37,7 +37,7 @@ class ViTBlock(nn.Module):
     # flash kernel — more parallelism-friendly at B*H=1440).
     use_fused: bool = False
     valid_len: int = 0
-    attn_impl: str = "flash"
+    attn_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x):
@@ -91,7 +91,7 @@ class ViT(nn.Module):
     depth: int = 12
     num_heads: int = 12
     use_fused: bool = False     # fused attention kernels (TPU only)
-    attn_impl: str = "flash"    # "flash" | "pallas" (see ViTBlock)
+    attn_impl: str = "pallas"   # "pallas" | "flash" (see ViTBlock)
 
     @nn.compact
     def __call__(self, images):
