@@ -37,7 +37,11 @@ NEG_INF = -1e9
 
 
 def _block_size(T: int) -> int:
-    for s in (256, 128):
+    # larger query blocks amortize per-program overhead (the ViT's
+    # T=1152 at 128-blocks ran 155k ~0.2us programs per forward, ~6x
+    # its compute floor); 384 = 3 x 128 keeps Mosaic tiling legal and
+    # the f32 score tile (384, T) within VMEM for T <= ~2k
+    for s in (384, 256, 128):
         if T % s == 0 and T >= s:
             return s
     return T
