@@ -348,3 +348,22 @@ def test_fused_adamw_matches_optax_chain():
                           jax.tree.leaves(s_r[0].nu)):
             np.testing.assert_allclose(np.asarray(kf), np.asarray(kr),
                                        rtol=1e-6, atol=1e-8)
+
+
+def test_vit_qkv_contiguous_split_matches_torch_packing():
+    """ViTBlock splits the packed qkv Dense output into contiguous thirds;
+    this must equal reshape(B, L, 3, H, D) slicing — the torch qkv weight
+    layout that load_torch_vit_checkpoint imports."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    B, L, H, D = 2, 5, 3, 4
+    C = H * D
+    qkv = rng.standard_normal((B, L, 3 * C)).astype(np.float32)
+    ref = qkv.reshape(B, L, 3, H, D)
+    np.testing.assert_array_equal(qkv[..., :C].reshape(B, L, H, D),
+                                  ref[:, :, 0])
+    np.testing.assert_array_equal(qkv[..., C:2 * C].reshape(B, L, H, D),
+                                  ref[:, :, 1])
+    np.testing.assert_array_equal(qkv[..., 2 * C:].reshape(B, L, H, D),
+                                  ref[:, :, 2])
