@@ -144,6 +144,9 @@ def bench_vq(args):
         B, T, S, P = (args.batch if args.batch != 8 else 4), 30, 448, 14
         vit = dict(vit_dim=768, vit_depth=12, vit_heads=12)  # ViT-B/14
         dim, rt, ra = 256, 8, 16
+    # --attn flash swaps the ViT kernel; --no-fused reproduces the
+    # XLA-attention baseline rows of RESULTS.md ("--attn xla" is the MQ
+    # bench's default string and is NOT an unfuse switch here)
     vit_impl = "flash" if args.attn == "flash" else "pallas"
     mk = lambda fused: ClipMatcher(
         dim=dim, clip_size=S, patch_size=P,
@@ -152,7 +155,7 @@ def bench_vq(args):
         num_frames=T, use_fused=fused, vit_attn_impl=vit_impl, **vit)
     # fused Pallas attention on the accelerator; the CPU init twin stays
     # unfused (identical param tree — the kernels hold no params)
-    model = mk(jax.default_backend() != "cpu")
+    model = mk(jax.default_backend() != "cpu" and not args.no_fused)
     init_twin = mk(False)
     try:
         cpu = jax.devices("cpu")[0]

@@ -33,8 +33,9 @@ class ViTBlock(nn.Module):
     # PER LAYER (120 frames x 12 heads x 1025^2) and dominates the step.
     # The token axis is padded ONCE in ViT.__call__; valid_len is the
     # unpadded token count (0 = all valid). attn_impl picks the kernel:
-    # "pallas" (kernels/attention.py) or "flash" (jax's production TPU
-    # flash kernel — more parallelism-friendly at B*H=1440).
+    # "pallas" (kernels/attention.py, default — measured 419 ms/step at
+    # the VQ flagship shape) or "flash" (jax's production TPU kernel —
+    # measured 1108 ms/step at the same shape; kept for ablation).
     use_fused: bool = False
     valid_len: int = 0
     attn_impl: str = "pallas"
@@ -56,6 +57,8 @@ class ViTBlock(nn.Module):
                 flash_attention_jax,
                 fused_attention,
             )
+
+            assert self.attn_impl in ("pallas", "flash"), self.attn_impl
 
             # the ViT pads the TOKEN AXIS once before the block stack
             # (see ViT.__call__), so L is already 128-aligned here and
