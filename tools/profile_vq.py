@@ -36,7 +36,7 @@ batches = [jax.device_put(fresh(), accel) for _ in range(2)]
 for i in range(3):
     state, m = step(state, batches[i % 2])
 float(m["final_loss"])
-with jax.profiler.trace("/tmp/jax_trace_vq3"):
+with jax.profiler.trace("/tmp/jax_trace_vq4"):
     for i in range(3):
         state, m = step(state, batches[i % 2])
     float(m["final_loss"])
