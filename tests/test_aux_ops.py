@@ -179,3 +179,28 @@ def test_ensemble_cli(tmp_path):
     assert len(spans) == 5
     # the agreeing cluster around [10, 20] must rank first
     assert 9.5 <= spans[0][0] <= 11.5 and 19.5 <= spans[0][1] <= 21.5
+
+
+def test_temporal_nms_enclosing_matches_reference_semantics():
+    """The ensemble NMS overlap divides by the ENCLOSING span
+    (NLQ/temporal_nms.py) — two touching segments under a true-IoU NMS
+    would both survive, but a long low-score segment enclosing the top
+    one is suppressed more aggressively."""
+    import numpy as np
+
+    from vilco_tpu.ops.ensemble import temporal_nms_enclosing
+
+    segs = np.array([[0.0, 10.0],    # top score
+                     [2.0, 8.0],     # inside: inter 6 / span 10 = 0.6 > 0.5
+                     [9.0, 30.0]],   # inter 1 / span 30 = 0.03 -> kept
+                    np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    keep = temporal_nms_enclosing(segs, scores, nms_thd=0.5, max_out=5)
+    assert keep == [0, 2]
+
+    # reference quirk: enclosing-union also suppresses NON-overlapping
+    # near segments more than true IoU would never do? No overlap -> 0.
+    segs2 = np.array([[0.0, 5.0], [6.0, 10.0]], np.float32)
+    keep2 = temporal_nms_enclosing(segs2, np.array([0.9, 0.8], np.float32),
+                                   nms_thd=0.5, max_out=5)
+    assert keep2 == [0, 1]

@@ -17,6 +17,30 @@ import numpy as np
 from vilco_tpu.ops.nms_host import nms_1d_host
 
 
+def temporal_nms_enclosing(segs: np.ndarray, scores: np.ndarray,
+                           nms_thd: float, max_out: int) -> List[int]:
+    """Greedy NMS with the reference's ENCLOSING-SPAN overlap
+    (NLQ/temporal_nms.py:6-22: union = max(e) - min(s), which its own
+    comment calls 'not the correct union' — reproduced for parity).
+    Returns kept indices into score-descending order."""
+    order = np.argsort(-scores, kind="stable")
+    keep: List[int] = []
+    alive = list(order)
+    while alive and len(keep) < max_out:
+        top = alive.pop(0)
+        keep.append(int(top))
+        s0, e0 = segs[top]
+        nxt = []
+        for i in alive:
+            s1, e1 = segs[i]
+            inter = max(0.0, min(e0, e1) - max(s0, s1))
+            union = max(e0, e1) - min(s0, s1)
+            if union <= 0 or inter / union <= nms_thd:
+                nxt.append(i)
+        alive = nxt
+    return keep
+
+
 def top1_cluster_merge(proposals: Sequence[Sequence[float]],
                        distance: float = 2.0) -> List[List[float]]:
     """proposals: [[s, e, score], ...] (the models' top-1s). Returns merged
@@ -55,9 +79,14 @@ def ensemble_predictions(
     top1_max_input: int = 1,
     nms_thd: float = 0.5,
     max_after_nms: int = 5,
+    iou_mode: str = "enclosing",
 ) -> List[List[float]]:
     """per_model: for each model, its ranked [[s, e, score], ...] for one
-    query. Returns exactly `max_after_nms` fused [s, e] proposals."""
+    query. Returns exactly `max_after_nms` fused [s, e] proposals.
+
+    iou_mode "enclosing" reproduces the reference's nonstandard NMS
+    overlap (temporal_nms.py); "standard" uses true IoU via the native
+    host op."""
     top1_pool = []
     fused = []
     for preds in per_model:
@@ -68,8 +97,12 @@ def ensemble_predictions(
     fused.sort(key=lambda p: -p[-1])
     segs = np.asarray([[p[0], p[1]] for p in fused], np.float32)
     scores = np.asarray([p[-1] for p in fused], np.float32)
-    keep = nms_1d_host(segs, scores, iou_threshold=nms_thd,
-                       max_out=max_after_nms)
+    if iou_mode == "enclosing":
+        keep = temporal_nms_enclosing(segs, scores, nms_thd,
+                                      max_out=max_after_nms)
+    else:
+        keep = nms_1d_host(segs, scores, iou_threshold=nms_thd,
+                           max_out=max_after_nms)
     out = [[float(segs[i, 0]), float(segs[i, 1])] for i in keep]
     if out and len(out) < max_after_nms:
         out.extend([out[-1]] * (max_after_nms - len(out)))
