@@ -128,6 +128,16 @@ def test_mesh_sharding_rules():
     assert sb["feats"].sharding.spec == P("data", None, None)
 
 
+def test_make_mesh_errors_on_insufficient_devices():
+    import pytest
+    from vilco_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="requested 16"):
+        make_mesh(16)  # the virtual CPU mesh only has 8
+    with pytest.raises(ValueError, match="model_parallel"):
+        make_mesh(8, model_parallel=3)
+
+
 def test_vq_augment_batch(rng):
     from vilco_tpu.data.vq_augment import augment_vq_batch, hflip_clip
 

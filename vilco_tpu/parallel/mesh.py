@@ -34,9 +34,20 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} are available "
+                f"(platform={devices[0].platform if devices else '?'}). "
+                "For a virtual mesh set JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} before jax initializes.")
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    if n % model_parallel:
+        raise ValueError(
+            f"make_mesh: {n} devices not divisible by "
+            f"model_parallel={model_parallel}")
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, axis_names=("data", "model"))
 
