@@ -1,0 +1,296 @@
+"""Import reference (torch) PtTransformer checkpoints into Flax params.
+
+Maps a torch ``state_dict`` of the reference MQ meta-arch
+(MQ/libs/modeling/meta_archs.py:351 ``PtTransformer``, backbone
+``ConvTransformerBackbone`` backbones.py:11, blocks blocks.py) onto the
+parameter tree of :class:`vilco_tpu.models.point_transformer.PointTransformer`.
+
+Layout translations (torch -> flax):
+  Conv1d weight   (Cout, Cin/g, K) -> (K, Cin/g, Cout)
+  Conv1d 1x1      (Cout, Cin, 1)   -> Dense kernel (Cin, Cout)
+  Linear weight   (Cout, Cin)      -> Dense kernel (Cin, Cout)
+  channel LayerNorm (1, C, 1)      -> (C,)
+  AffineDropPath scale (1, C, 1)   -> (1, 1, C)
+  XLNet rel-attn q/k/v/r/o         -> identical (d_model, H, D)
+
+Documented parameter-sharing quirks of the reference that the import
+reproduces by copying (the rebuild unties them; PARITY.md):
+  - ``drop_path_attn`` is applied to BOTH the self-attn and the cross-attn
+    residual (blocks.py:567,573) -> copied into our ``drop_path_cross``;
+  - with ``use_xl=False`` the backbone re-applies ``stem.0`` before the
+    branch (backbones.py:276-278) -> copied into our ``pre_branch``;
+  - ``ln3`` is shared between the cross query and cross memory; both repos
+    share it, no action needed.
+
+Use :func:`load_torch_point_transformer` with a params template from
+``model.init`` — every leaf of the template must be matched by a state-dict
+entry (missing/mismatched leaves raise), which is what makes this usable as
+a numeric-parity harness (tests/test_torch_parity.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 1, 0))
+
+
+def _dense_from_conv1x1(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w[:, :, 0])
+
+
+def _dense_from_linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w)
+
+
+def _chan(w: np.ndarray) -> np.ndarray:
+    return np.reshape(w, (-1,))
+
+
+def _adp(w: np.ndarray) -> np.ndarray:          # AffineDropPath scale
+    return np.transpose(w, (0, 2, 1))
+
+
+def _id(w: np.ndarray) -> np.ndarray:
+    return np.asarray(w)
+
+
+def _squeeze1(w: np.ndarray) -> np.ndarray:     # (C, 1) -> (C,)
+    return np.reshape(w, (-1,))
+
+
+def _scalar(w: np.ndarray) -> np.ndarray:
+    return np.reshape(w, ())
+
+
+# ---------------------------------------------------------------- block map
+
+def _block_rules(ref: str) -> Dict[str, Tuple[str, Callable]]:
+    """Leaf-path -> (ref state_dict key, transform) inside a
+    TransformerBlock (ours) given the reference module prefix `ref`."""
+    r: Dict[str, Tuple[str, Callable]] = {}
+    for ln in ("ln1", "ln2", "ln3"):
+        r[f"{ln}/weight"] = (f"{ref}.{ln}.weight", _chan)
+        r[f"{ln}/bias"] = (f"{ref}.{ln}.bias", _chan)
+    for n in ("query", "key", "value"):
+        r[f"attn/{n}_conv/kernel"] = (f"{ref}.attn.{n}_conv.conv.weight",
+                                      _conv_w)
+        r[f"attn/{n}_norm/weight"] = (f"{ref}.attn.{n}_norm.weight", _chan)
+        r[f"attn/{n}_norm/bias"] = (f"{ref}.attn.{n}_norm.bias", _chan)
+        r[f"attn/{n}/kernel"] = (f"{ref}.attn.{n}.weight", _dense_from_conv1x1)
+        r[f"attn/{n}/bias"] = (f"{ref}.attn.{n}.bias", _id)
+        r[f"cross_attn/{n}/kernel"] = (f"{ref}.cross_attn.{n}.weight",
+                                       _dense_from_conv1x1)
+        r[f"cross_attn/{n}/bias"] = (f"{ref}.cross_attn.{n}.bias", _id)
+    r["attn/proj/kernel"] = (f"{ref}.attn.proj.weight", _dense_from_conv1x1)
+    r["attn/proj/bias"] = (f"{ref}.attn.proj.bias", _id)
+    r["cross_attn/proj/kernel"] = (f"{ref}.cross_attn.proj.weight",
+                                   _dense_from_conv1x1)
+    r["cross_attn/proj/bias"] = (f"{ref}.cross_attn.proj.bias", _id)
+    # FFN: reference mlp = Sequential(Conv1d, GELU, Dropout, Conv1d, Dropout)
+    r["mlp_fc1/kernel"] = (f"{ref}.mlp.0.weight", _dense_from_conv1x1)
+    r["mlp_fc1/bias"] = (f"{ref}.mlp.0.bias", _id)
+    r["mlp_fc2/kernel"] = (f"{ref}.mlp.3.weight", _dense_from_conv1x1)
+    r["mlp_fc2/bias"] = (f"{ref}.mlp.3.bias", _id)
+    r["drop_path_attn/scale"] = (f"{ref}.drop_path_attn.scale", _adp)
+    r["drop_path_mlp/scale"] = (f"{ref}.drop_path_mlp.scale", _adp)
+    # reference applies drop_path_attn to the cross residual too
+    r["drop_path_cross/scale"] = (f"{ref}.drop_path_attn.scale", _adp)
+    # channel block (reference ChannelBlock: norm1 exists but is unused)
+    r["channel_attn/qkv/kernel"] = (f"{ref}.channel_attn.attn.qkv.weight",
+                                    _dense_from_linear)
+    r["channel_attn/proj/kernel"] = (f"{ref}.channel_attn.attn.proj.weight",
+                                     _dense_from_linear)
+    r["channel_attn/proj/bias"] = (f"{ref}.channel_attn.attn.proj.bias", _id)
+    r["channel_attn/norm2/scale"] = (f"{ref}.channel_attn.norm2.weight", _id)
+    r["channel_attn/norm2/bias"] = (f"{ref}.channel_attn.norm2.bias", _id)
+    r["channel_attn/mlp_fc1/kernel"] = (f"{ref}.channel_attn.mlp.0.weight",
+                                        _dense_from_linear)
+    r["channel_attn/mlp_fc1/bias"] = (f"{ref}.channel_attn.mlp.0.bias", _id)
+    r["channel_attn/mlp_fc2/kernel"] = (f"{ref}.channel_attn.mlp.2.weight",
+                                        _dense_from_linear)
+    r["channel_attn/mlp_fc2/bias"] = (f"{ref}.channel_attn.mlp.2.bias", _id)
+    return r
+
+
+def _xl_rules(ref: str) -> Dict[str, Tuple[str, Callable]]:
+    """Leaf map for one XLRelAttention layer <- HF XLNetLayer
+    (reference modeling_xlnet_x.py: rel_attn + ff)."""
+    r: Dict[str, Tuple[str, Callable]] = {}
+    for n in ("q", "k", "v", "r", "o"):
+        r[n] = (f"{ref}.rel_attn.{n}", _id)
+    r["r_w_bias"] = (f"{ref}.rel_attn.r_w_bias", _id)
+    r["r_r_bias"] = (f"{ref}.rel_attn.r_r_bias", _id)
+    r["ln_attn/scale"] = (f"{ref}.rel_attn.layer_norm.weight", _id)
+    r["ln_attn/bias"] = (f"{ref}.rel_attn.layer_norm.bias", _id)
+    r["ff1/kernel"] = (f"{ref}.ff.layer_1.weight", _dense_from_linear)
+    r["ff1/bias"] = (f"{ref}.ff.layer_1.bias", _id)
+    r["ff2/kernel"] = (f"{ref}.ff.layer_2.weight", _dense_from_linear)
+    r["ff2/bias"] = (f"{ref}.ff.layer_2.bias", _id)
+    r["ln_ff/scale"] = (f"{ref}.ff.layer_norm.weight", _id)
+    r["ln_ff/bias"] = (f"{ref}.ff.layer_norm.bias", _id)
+    return r
+
+
+def _masked_conv_rules(ours: str, ref: str) -> Dict[str, Tuple[str, Callable]]:
+    return {
+        f"{ours}/kernel": (f"{ref}.conv.weight", _conv_w),
+        f"{ours}/bias": (f"{ref}.conv.bias", _id),
+    }
+
+
+def _cln_rules(ours: str, ref: str) -> Dict[str, Tuple[str, Callable]]:
+    return {
+        f"{ours}/weight": (f"{ref}.weight", _chan),
+        f"{ours}/bias": (f"{ref}.bias", _chan),
+    }
+
+
+def _prefix(rules: Dict[str, Tuple[str, Callable]],
+            p: str) -> Dict[str, Tuple[str, Callable]]:
+    return {f"{p}/{k}": v for k, v in rules.items()}
+
+
+def point_transformer_rules(use_xl: bool, xl_layers: int = 1,
+                            n_branch: int = 0, n_stem: int = 0,
+                            n_convs: int = 0, n_levels: int = 0,
+                            head_layers: int = 3,
+                            use_cross_modal: bool = False,
+                            ) -> Dict[str, Tuple[str, Callable]]:
+    """Full leaf map for PointTransformer <- reference PtTransformer."""
+    r: Dict[str, Tuple[str, Callable]] = {}
+    bb = "backbone"
+    for i in range(n_convs):
+        r.update(_prefix(_masked_conv_rules(f"embd_{i}",
+                                            f"{bb}.embd.{i}"), bb))
+        r.update(_prefix(_cln_rules(f"embd_norm_{i}",
+                                    f"{bb}.embd_norm.{i}"), bb))
+        if use_cross_modal:
+            r.update(_prefix(_masked_conv_rules(
+                f"txt_embd_{i}", f"{bb}.txt_embd.{i}"), bb))
+            r.update(_prefix(_cln_rules(
+                f"txt_embd_norm_{i}", f"{bb}.txt_embd_norm.{i}"), bb))
+    for i in range(n_stem):
+        r.update(_prefix(_block_rules(f"{bb}.stem.{i}"), f"{bb}/stem_{i}"))
+        if use_cross_modal:
+            r.update(_prefix(_block_rules(f"{bb}.txt_stem.{i}"),
+                             f"{bb}/txt_stem_{i}"))
+    if use_xl:
+        for i in range(xl_layers):
+            r.update(_prefix(_xl_rules(f"{bb}.xlnet.layer.{i}"),
+                             f"{bb}/xl_{i}"))
+    else:
+        # reference re-applies stem.0 pre-branch (backbones.py:276-278)
+        r.update(_prefix(_block_rules(f"{bb}.stem.0"), f"{bb}/pre_branch"))
+    for i in range(n_branch):
+        r.update(_prefix(_block_rules(f"{bb}.branch.{i}"),
+                         f"{bb}/branch_{i}"))
+    for i in range(n_levels):
+        r.update(_prefix(_cln_rules(f"norm_{i}", f"neck.fpn_norms.{i}"),
+                         "neck"))
+    for i in range(head_layers - 1):
+        r.update(_prefix(_masked_conv_rules(
+            f"head_{i}", f"cls_head.head.{i}"), "cls_head"))
+        r.update(_prefix(_cln_rules(f"norm_{i}", f"cls_head.norm.{i}"),
+                         "cls_head"))
+        r.update(_prefix(_masked_conv_rules(
+            f"head_{i}", f"reg_head.head.{i}"), "reg_head"))
+        r.update(_prefix(_cln_rules(f"norm_{i}", f"reg_head.norm.{i}"),
+                         "reg_head"))
+    r.update(_prefix(_masked_conv_rules("cls", "cls_head.cls_head"),
+                     "cls_head"))
+    r.update(_prefix(_masked_conv_rules("offset", "reg_head.offset_head"),
+                     "reg_head"))
+    for l in range(n_levels):
+        r[f"reg_head/scale_{l}/scale"] = (f"reg_head.scale.{l}.scale",
+                                          _scalar)
+    for n in ("mu", "sigma", "mu_reg_left", "sigma_reg_left",
+              "mu_reg_right", "sigma_reg_right"):
+        r[n] = (n, _squeeze1)
+    return r
+
+
+# --------------------------------------------------------------- tree utils
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def _unflatten(flat):
+    root: dict = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        d = root
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return root
+
+
+def fill_from_rules(template, state_dict, rules, strict: bool = True):
+    """Return a params tree with the template's structure and the state
+    dict's values. Every template leaf must be covered by `rules` and
+    present in `state_dict` with a shape-compatible transform (strict)."""
+    flat = _flatten(template)
+    out = {}
+    missing, mismatched = [], []
+    for path, leaf in flat.items():
+        if path not in rules:
+            missing.append(path)
+            continue
+        key, tf = rules[path]
+        if key not in state_dict:
+            missing.append(f"{path} <- {key} (absent)")
+            continue
+        w = tf(np.asarray(state_dict[key]))
+        if tuple(w.shape) != tuple(np.shape(leaf)):
+            mismatched.append(f"{path}: ref {w.shape} vs ours "
+                              f"{tuple(np.shape(leaf))}")
+            continue
+        out[path] = w.astype(np.asarray(leaf).dtype)
+    if strict and (missing or mismatched):
+        raise ValueError(
+            "torch_import: unmatched parameters\n  missing: "
+            + "\n  missing: ".join(missing[:20])
+            + "\n  mismatch: " + "\n  mismatch: ".join(mismatched[:20]))
+    merged = dict(flat)
+    merged.update(out)
+    return _unflatten(merged)
+
+
+def load_torch_point_transformer(state_dict, cfg, params_template):
+    """Port a reference MQ PtTransformer state_dict onto a params template
+    produced by ``PointTransformer(cfg, cl).init(...)["params"]``.
+
+    `state_dict` maps torch names to numpy arrays (call ``.numpy()`` on
+    tensors or load with ``torch.load(..., map_location="cpu")``).
+    """
+    rules = point_transformer_rules(
+        use_xl=cfg.use_xl,
+        xl_layers=getattr(cfg, "xl_layers", 1),
+        n_branch=cfg.backbone_arch[-1],
+        n_stem=cfg.backbone_arch[1],
+        n_convs=cfg.backbone_arch[0],
+        n_levels=cfg.backbone_arch[-1] + 1,
+        head_layers=cfg.head_num_layers,
+        use_cross_modal=cfg.use_cross_modal,
+    )
+    return fill_from_rules(params_template, state_dict, rules)
+
+
+def state_dict_to_numpy(module) -> Dict[str, np.ndarray]:
+    """torch nn.Module -> {name: np.ndarray} (detached, cpu)."""
+    return {k: v.detach().cpu().numpy()
+            for k, v in module.state_dict().items()}
