@@ -63,6 +63,20 @@ def main(argv=None):
     p.add_argument("--vq-frame-size", type=int, default=448)
     p.add_argument("--vq-window", type=int, default=30)
     p.add_argument("--vq-categories-per-task", type=int, default=400)
+    # real-data NLQ sources (reference lmdb envs or imported per-key dirs,
+    # see bin/import_lmdb.py)
+    p.add_argument("--nlq-train-jsonl", default=None,
+                   help="NLQ train annotations jsonl (with --task nlq)")
+    p.add_argument("--nlq-val-jsonl", default=None)
+    p.add_argument("--nlq-video-lmdb", default=None,
+                   help="reference video-feature lmdb env (video_id keys)")
+    p.add_argument("--nlq-text-lmdb", default=None,
+                   help="reference text-feature lmdb env (query_id keys)")
+    p.add_argument("--nlq-val-text-lmdb", default=None)
+    p.add_argument("--nlq-video-dir", default=None,
+                   help="dir of {video_id}.npy (import_lmdb unpack output)")
+    p.add_argument("--nlq-text-dir", default=None,
+                   help="dir of {query_id}.npz (import_lmdb unpack output)")
     args = p.parse_args(argv)
 
     logging.basicConfig(
@@ -223,7 +237,17 @@ def main(argv=None):
             "results_file": out,
         }))
         return results
-    if args.synthetic and task == "nlq":
+    if task == "nlq" and args.nlq_train_jsonl:
+        from vilco_tpu.tasks.nlq import build_nlq_runner
+
+        runner = build_nlq_runner(
+            cfg, args.workdir, args.nlq_train_jsonl,
+            args.nlq_val_jsonl or args.nlq_train_jsonl,
+            video_lmdb=args.nlq_video_lmdb, text_lmdb=args.nlq_text_lmdb,
+            val_text_lmdb=args.nlq_val_text_lmdb,
+            video_dir=args.nlq_video_dir, text_dir=args.nlq_text_dir,
+        )
+    elif args.synthetic and task == "nlq":
         from vilco_tpu.tasks.nlq import (
             NLQEpisodeRunner, NLQTaskStream, SyntheticNLQFeatures,
             make_synthetic_nlq_split,

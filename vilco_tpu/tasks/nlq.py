@@ -12,6 +12,7 @@ R1@0.3 (NLQ/train_utils.py:784-870).
 from __future__ import annotations
 
 import hashlib
+import json
 import logging
 import random
 from typing import Callable, Dict, List, Optional
@@ -170,6 +171,114 @@ class NLQEpisodeRunner(EpisodeRunner):
             "BwF_R1@0.3": bwf,
             "BwF_mAP": bwf,
         }
+
+
+def load_nlq_tasks(jsonl_path: str, fps: float = 30.0) -> Dict[str, List[dict]]:
+    """Group a reference NLQ jsonl (NLQ/libs/datasets/ego4d_loader.py:130-135
+    load_jsonl) into the template-keyed task dict NLQTaskStream consumes."""
+    tasks: Dict[str, List[dict]] = {}
+    with open(jsonl_path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = adapt_query_record(json.loads(line), fps=fps)
+            tasks.setdefault(rec["query_type"], []).append(rec)
+    return tasks
+
+
+class LmdbNLQFeatures:
+    """Real NLQ features straight from the reference's released LMDB envs
+    (ego4d_loader.py:94-105: video env keyed by video_id with npz
+    {'features': (Lv, D)}; text env keyed by query_id with
+    {'token_features': (Lq, D)} or pooled {'features': (D,)}).
+
+    Reads via the zero-dependency parser in data/lmdb_io.py — no `lmdb`
+    package needed. A separate val text env (the reference opens one per
+    split) is consulted as a fallback when the qid is absent from the
+    train env.
+    """
+
+    def __init__(self, video_lmdb: str, text_lmdb: str,
+                 val_text_lmdb: Optional[str] = None):
+        from vilco_tpu.data.lmdb_io import LmdbReader
+
+        self._video = LmdbReader(video_lmdb)
+        self._text = LmdbReader(text_lmdb)
+        self._val_text = (
+            LmdbReader(val_text_lmdb)
+            if val_text_lmdb and val_text_lmdb != text_lmdb else None
+        )
+
+    def video(self, v: dict) -> np.ndarray:
+        from vilco_tpu.data.lmdb_io import read_npz_value
+
+        buf = self._video.get(str(v["video_id"]).encode())
+        if buf is None:
+            raise KeyError(f"video_id {v['video_id']} not in video lmdb")
+        return read_npz_value(buf)["features"].astype(np.float32)
+
+    def text(self, v: dict) -> np.ndarray:
+        from vilco_tpu.data.lmdb_io import read_npz_value
+
+        qid = str(v["id"]).encode()
+        buf = self._text.get(qid)
+        if buf is None and self._val_text is not None:
+            buf = self._val_text.get(qid)
+        if buf is None:
+            raise KeyError(f"query_id {v['id']} not in text lmdb(s)")
+        d = read_npz_value(buf)
+        q = d.get("token_features", d.get("features"))
+        q = np.asarray(q, np.float32)
+        if q.ndim == 1:                        # pooled feature -> one token
+            q = q[None, :]
+        return q
+
+
+class DirNLQFeatures:
+    """NLQ features from per-key files ({video_id}.npy + {query_id}.npz),
+    the layout bin/import_lmdb.py emits and extractors/clip_text.py
+    produces."""
+
+    def __init__(self, video_dir: str, text_dir: str):
+        self.video_dir = video_dir
+        self.text_dir = text_dir
+
+    def video(self, v: dict) -> np.ndarray:
+        import os
+
+        return np.load(os.path.join(
+            self.video_dir, f"{v['video_id']}.npy")).astype(np.float32)
+
+    def text(self, v: dict) -> np.ndarray:
+        import os
+
+        d = np.load(os.path.join(self.text_dir, f"{v['id']}.npz"))
+        q = np.asarray(
+            d["token_features"] if "token_features" in d else d["features"],
+            np.float32)
+        return q[None, :] if q.ndim == 1 else q
+
+
+def build_nlq_runner(cfg: Config, workdir: str, train_jsonl: str,
+                     val_jsonl: str, video_lmdb: Optional[str] = None,
+                     text_lmdb: Optional[str] = None,
+                     val_text_lmdb: Optional[str] = None,
+                     video_dir: Optional[str] = None,
+                     text_dir: Optional[str] = None) -> "NLQEpisodeRunner":
+    """Real-data NLQ episode: jsonl annotations + lmdb or per-file features
+    (bin/train_cl.py's non-synthetic NLQ path)."""
+    fps = float(getattr(cfg.dataset, "default_fps", 30.0) or 30.0)
+    stream = NLQTaskStream(load_nlq_tasks(train_jsonl, fps),
+                           load_nlq_tasks(val_jsonl, fps))
+    if video_lmdb:
+        feats = LmdbNLQFeatures(video_lmdb, text_lmdb, val_text_lmdb)
+    elif video_dir:
+        feats = DirNLQFeatures(video_dir, text_dir)
+    else:
+        raise ValueError("build_nlq_runner needs --nlq-video-lmdb or "
+                         "--nlq-video-dir")
+    return NLQEpisodeRunner(cfg, stream, feats.video, workdir=workdir,
+                            text_source=feats.text)
 
 
 class SyntheticNLQFeatures:
