@@ -79,3 +79,12 @@ def test_shipped_configs_parse_and_derive():
         assert cfg.model.embd_dim > 0
         assert len(cfg.model.regression_range) == len(cfg.model.fpn_strides)
         assert cfg.opt.epochs > 0
+
+    # the VQ flagship (mirrors VQ/config/train_cl.yaml): DINOv2 ViT-B/14,
+    # 30x448^2 clips, dim-256 matcher
+    cfg = load_config(os.path.join(root, "configs", "vq_vilco.yaml"))
+    assert cfg.task == "vq"
+    assert (cfg.vq.vit_dim, cfg.vq.vit_depth, cfg.vq.patch_size) == \
+        (768, 12, 14)
+    assert (cfg.vq.clip_size, cfg.vq.num_frames, cfg.vq.dim) == (448, 30, 256)
+    assert cfg.vq.resolution_anchor_feat == 16 and cfg.vq.use_hnm

@@ -206,3 +206,92 @@ def test_vit_torch_checkpoint_import(tmp_path):
     )
     assert out.shape == (1, 2, 2, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _tiny_vit_sd(rng, dim, depth, heads, patch, img):
+    """Torch-layout ViT state dict matching ClipMatcher's backbone."""
+    import torch
+
+    n_tok = (img // patch) ** 2 + 1
+    sd = {
+        "patch_embed.proj.weight": torch.tensor(
+            rng.standard_normal((dim, 3, patch, patch)).astype(np.float32)
+            * 0.02),
+        "patch_embed.proj.bias": torch.zeros(dim),
+        "cls_token": torch.zeros(1, 1, dim),
+        "pos_embed": torch.tensor(
+            rng.standard_normal((1, n_tok, dim)).astype(np.float32) * 0.02),
+        "norm.weight": torch.ones(dim),
+        "norm.bias": torch.zeros(dim),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        sd[p + "norm1.weight"] = torch.ones(dim)
+        sd[p + "norm1.bias"] = torch.zeros(dim)
+        sd[p + "attn.qkv.weight"] = torch.tensor(
+            rng.standard_normal((3 * dim, dim)).astype(np.float32) * 0.02)
+        sd[p + "attn.qkv.bias"] = torch.zeros(3 * dim)
+        sd[p + "attn.proj.weight"] = torch.tensor(
+            rng.standard_normal((dim, dim)).astype(np.float32) * 0.02)
+        sd[p + "attn.proj.bias"] = torch.zeros(dim)
+        sd[p + "norm2.weight"] = torch.ones(dim)
+        sd[p + "norm2.bias"] = torch.zeros(dim)
+        sd[p + "mlp.fc1.weight"] = torch.tensor(
+            rng.standard_normal((4 * dim, dim)).astype(np.float32) * 0.02)
+        sd[p + "mlp.fc1.bias"] = torch.zeros(4 * dim)
+        sd[p + "mlp.fc2.weight"] = torch.tensor(
+            rng.standard_normal((dim, 4 * dim)).astype(np.float32) * 0.02)
+        sd[p + "mlp.fc2.bias"] = torch.zeros(dim)
+    return sd
+
+
+def test_vq_cli_with_config_and_vit_ckpt(tmp_path):
+    """train_cl --task vq --config ... --vit-ckpt ...: the VQCfg shape and
+    the pretrained backbone both reach the runner (VERDICT item 4; flagship
+    yaml is configs/vq_vilco.yaml — this uses a CI-sized twin)."""
+    import torch
+
+    from vilco_tpu.bin.train_cl import main
+
+    rng = np.random.default_rng(3)
+    sd = _tiny_vit_sd(rng, dim=48, depth=2, heads=4, patch=8, img=32)
+    ckpt = tmp_path / "vit_tiny.pth"
+    torch.save(sd, str(ckpt))
+
+    cfg_yaml = tmp_path / "vq_tiny.yaml"
+    cfg_yaml.write_text(
+        "task: vq\n"
+        "vq:\n"
+        "  dim: 64\n  clip_size: 32\n  query_size: 32\n  patch_size: 8\n"
+        "  vit_dim: 48\n  vit_depth: 2\n  vit_heads: 4\n"
+        "  resolution_transformer: 4\n  resolution_anchor_feat: 4\n"
+        "  num_transformer: 1\n  num_frames: 4\n"
+        "  batch_size: 2\n  lr: 0.002\n  use_hnm: false\n  augment: false\n"
+    )
+    results = main([
+        "--task", "vq", "--synthetic", "--config", str(cfg_yaml),
+        "--vit-ckpt", str(ckpt), "--workdir", str(tmp_path / "run"),
+        "--epochs", "2", "--num-tasks", "2",
+    ])
+    assert len(results["tasks"]) == 2
+    assert np.isfinite(results["final"]["avg_tAP25"])
+
+    # the runner actually consumed the checkpoint: re-build and compare
+    from vilco_tpu.core.config import load_config
+    from vilco_tpu.tasks.vq import (
+        SyntheticVQSource, VQEpisodeRunner, VQTaskStream,
+        make_synthetic_vq_split,
+    )
+
+    cfg = load_config(str(cfg_yaml))
+    train, val = make_synthetic_vq_split(np.random.default_rng(0),
+                                         num_tasks=1)
+    runner = VQEpisodeRunner(
+        VQTaskStream(train, val), SyntheticVQSource(frame_size=32),
+        str(tmp_path / "run2"), model_cfg=cfg.vq, vit_ckpt=str(ckpt),
+    )
+    assert runner.window == 4 and runner.frame_size == 32
+    np.testing.assert_allclose(
+        np.asarray(runner.params["backbone"]["patch_embed"]["kernel"]),
+        sd["patch_embed.proj.weight"].numpy().transpose(2, 3, 1, 0),
+    )

@@ -60,9 +60,14 @@ def main(argv=None):
                    help="directory of {clip_uid}.mp4 clips")
     p.add_argument("--vq-images-dir", default=None,
                    help="directory of {clip_uid}/frame_XXXXXXX.jpg frames")
-    p.add_argument("--vq-frame-size", type=int, default=448)
-    p.add_argument("--vq-window", type=int, default=30)
-    p.add_argument("--vq-categories-per-task", type=int, default=400)
+    p.add_argument("--vq-frame-size", type=int, default=None,
+                   help="default: config vq.clip_size (448) for real data, "
+                        "32 for --synthetic")
+    p.add_argument("--vq-window", type=int, default=None)
+    p.add_argument("--vq-categories-per-task", type=int, default=None)
+    p.add_argument("--vit-ckpt", default=None,
+                   help="local DINO/DINOv2/MAE torch checkpoint for the VQ "
+                        "ViT backbone (models.vit.load_torch_vit_checkpoint)")
     # real-data NLQ sources (reference lmdb envs or imported per-key dirs,
     # see bin/import_lmdb.py)
     p.add_argument("--nlq-train-jsonl", default=None,
@@ -162,17 +167,35 @@ def main(argv=None):
             make_synthetic_vq_split,
         )
 
+        # flagship knobs come from the config's vq section
+        # (configs/vq_vilco.yaml); CLI flags override
+        vqc = cfg.vq if args.config else None
+        vq_kw = {}
+        if vqc is not None:
+            vq_kw.update(
+                model_cfg=vqc, batch_size=vqc.batch_size, lr=vqc.lr,
+                weight_decay=vqc.weight_decay, use_hnm=vqc.use_hnm,
+                augment=vqc.augment,
+                vit_ckpt=args.vit_ckpt or vqc.vit_ckpt,
+            )
+        elif args.vit_ckpt:
+            vq_kw["vit_ckpt"] = args.vit_ckpt
+
         if args.vq_annotations:
             from vilco_tpu.data.vq_frames import (
                 FrameDirSource, VideoFrameSource, group_splits,
                 load_vq_annotations,
             )
 
+            frame_size = args.vq_frame_size or (
+                vqc.clip_size if vqc else 448)
+            window = args.vq_window or (vqc.num_frames if vqc else 30)
             train_s = load_vq_annotations(args.vq_annotations, "train")
             val_s = load_vq_annotations(
                 args.vq_val_annotations or args.vq_annotations, "val"
             )
-            per = args.vq_categories_per_task
+            per = args.vq_categories_per_task or (
+                vqc.categories_per_task if vqc else 400)
             stream = VQTaskStream(*group_splits(train_s, val_s, per))
             if args.joint:
                 from vilco_tpu.tasks.vq import merge_vq_tasks
@@ -180,21 +203,22 @@ def main(argv=None):
                 stream = merge_vq_tasks(stream)
             if args.vq_images_dir:
                 source = FrameDirSource(args.vq_images_dir,
-                                        frame_size=args.vq_frame_size)
+                                        frame_size=frame_size)
             elif args.vq_clip_dir:
                 source = VideoFrameSource(args.vq_clip_dir,
-                                          frame_size=args.vq_frame_size)
+                                          frame_size=frame_size)
             else:
                 p.error("--vq-annotations needs --vq-clip-dir or "
                         "--vq-images-dir")
             runner = VQEpisodeRunner(
                 stream, source, args.workdir,
-                window=args.vq_window, frame_size=args.vq_frame_size,
+                window=window, frame_size=frame_size,
                 method=args.method or "naive",
                 epochs=args.epochs or 4,
                 memory_size=(2 * per
                              if args.method in ("icarl", "rehearsal",
                                                 "vilco") else 0),
+                **vq_kw,
             )
             results = prep(runner).run()
             out = os.path.join(args.workdir, "results.json")
@@ -220,11 +244,13 @@ def main(argv=None):
             from vilco_tpu.tasks.vq import merge_vq_tasks
 
             stream = merge_vq_tasks(stream)
+        syn_frame = args.vq_frame_size or (vqc.clip_size if vqc else 32)
         runner = VQEpisodeRunner(
-            stream, SyntheticVQSource(), args.workdir,
+            stream, SyntheticVQSource(frame_size=syn_frame), args.workdir,
             method=args.method or "naive",
             epochs=args.epochs or 4,
             memory_size=8 if args.method in ("icarl", "rehearsal") else 0,
+            **vq_kw,
         )
         results = prep(runner).run()
         out = os.path.join(args.workdir, "results.json")

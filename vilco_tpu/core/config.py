@@ -314,6 +314,43 @@ class LoaderCfg(_Base):
 
 
 @dataclass(frozen=True)
+class VQCfg(_Base):
+    """VQ (visual-query 2-D localization) model/data knobs.
+
+    Mirrors VQ/config/config.py:6-60 defaults as overridden by the shipped
+    VQ/config/train_cl.yaml: DINOv2 ViT-B/14 backbone (frozen), 448-square
+    30-frame clips, dim-256 matcher, 3 spatio-temporal transformer layers,
+    anchors on a 16x16 grid.
+    """
+
+    dim: int = 256                      # matcher channel dim
+    clip_size: int = 448                # dataset.clip_size_fine/coarse
+    query_size: int = 448               # dataset.query_size
+    patch_size: int = 14                # backbone_type 'vitb14'
+    vit_dim: int = 768                  # ViT-B
+    vit_depth: int = 12
+    vit_heads: int = 12
+    resolution_transformer: int = 8     # model.resolution_transformer
+    resolution_anchor_feat: int = 16    # model.resolution_anchor_feat
+    num_transformer: int = 3
+    window_transformer: int = 5
+    num_frames: int = 30                # dataset.clip_num_frames
+    freeze_backbone: bool = True        # model.fix_backbone
+    # local DINO/DINOv2/MAE torch checkpoint imported via
+    # models.vit.load_torch_vit_checkpoint (the reference torch.hub-loads
+    # these; zero-egress environments need the file on disk)
+    vit_ckpt: str = ""
+    categories_per_task: int = 400      # QIL split width
+    batch_size: int = 4                 # train.batch_size
+    lr: float = 3e-4                    # train.lr
+    weight_decay: float = 5e-3          # train.weight_decay
+    use_hnm: bool = True                # hard-negative mining across batch
+    augment: bool = True                # train.aug_clip
+    positive_threshold: float = 0.2     # model.positive_threshold
+    positive_topk: int = 5              # model.positive_topk
+
+
+@dataclass(frozen=True)
 class Config(_Base):
     """Top-level experiment configuration."""
 
@@ -329,6 +366,7 @@ class Config(_Base):
     cl_cfg: CLCfg = field(default_factory=CLCfg)
     opt: OptCfg = field(default_factory=OptCfg)
     loader: LoaderCfg = field(default_factory=LoaderCfg)
+    vq: VQCfg = field(default_factory=VQCfg)
 
     def derived(self) -> "Config":
         """Propagate dataset dims into the model config.
@@ -354,6 +392,7 @@ _SUBCONFIG_TYPES = {
     (Config, "cl_cfg"): CLCfg,
     (Config, "opt"): OptCfg,
     (Config, "loader"): LoaderCfg,
+    (Config, "vq"): VQCfg,
 }
 
 

@@ -195,7 +195,9 @@ class VQEpisodeRunner:
                  reg_lambda: float = 0.0, epochs: int = 4,
                  batch_size: int = 2, lr: float = 1e-3, seed: int = 0,
                  use_hnm: bool = False, augment: bool = False,
-                 eval_windows: int = 8, use_fused: bool = False):
+                 eval_windows: int = 8, use_fused: bool = False,
+                 model_cfg=None, vit_ckpt: str = "",
+                 weight_decay: float = 1e-4):
         self.stream = stream
         self.source = source
         self.workdir = workdir
@@ -216,20 +218,48 @@ class VQEpisodeRunner:
         self.eval_windows = eval_windows
         self._aug_key = jax.random.PRNGKey(seed + 99)
 
-        self.model = ClipMatcher(
-            dim=64, clip_size=frame_size, patch_size=8,
-            vit_dim=48, vit_depth=2, vit_heads=4,
-            resolution_transformer=frame_size // 8,
-            resolution_anchor_feat=frame_size // 8,
-            num_transformer=1, window_transformer=5,
-            num_frames=window, use_fused=use_fused,
-        )
+        if model_cfg is not None:
+            # flagship shape from a VQCfg (configs/vq_vilco.yaml mirrors
+            # VQ/config/train_cl.yaml); window/frame_size follow it
+            self.window = window = model_cfg.num_frames
+            self.frame_size = frame_size = model_cfg.clip_size
+            self.model = ClipMatcher(
+                dim=model_cfg.dim, clip_size=model_cfg.clip_size,
+                patch_size=model_cfg.patch_size,
+                vit_dim=model_cfg.vit_dim, vit_depth=model_cfg.vit_depth,
+                vit_heads=model_cfg.vit_heads,
+                resolution_transformer=model_cfg.resolution_transformer,
+                resolution_anchor_feat=model_cfg.resolution_anchor_feat,
+                num_transformer=model_cfg.num_transformer,
+                window_transformer=model_cfg.window_transformer,
+                num_frames=model_cfg.num_frames,
+                freeze_backbone=model_cfg.freeze_backbone,
+                use_fused=use_fused,
+            )
+        else:
+            self.model = ClipMatcher(
+                dim=64, clip_size=frame_size, patch_size=8,
+                vit_dim=48, vit_depth=2, vit_heads=4,
+                resolution_transformer=frame_size // 8,
+                resolution_anchor_feat=frame_size // 8,
+                num_transformer=1, window_transformer=5,
+                num_frames=window, use_fused=use_fused,
+            )
         rng = jax.random.PRNGKey(seed)
-        clip0 = jnp.zeros((1, window, frame_size, frame_size, 3))
+        # T=1 init clip: param shapes are T-independent (pe_3d is built from
+        # num_frames, not the input) and ViT-B init at the full window costs
+        # ~15 min on CPU (RESULTS.md)
+        clip0 = jnp.zeros((1, 1, frame_size, frame_size, 3))
         query0 = jnp.zeros((1, frame_size, frame_size, 3))
         self.params = self.model.init(rng, clip0, query0,
                                       deterministic=True)["params"]
-        self.tx = optax.adamw(lr, weight_decay=1e-4)
+        if vit_ckpt:
+            from vilco_tpu.models.vit import load_torch_vit_checkpoint
+
+            self.params = dict(self.params)
+            self.params["backbone"] = load_torch_vit_checkpoint(
+                self.params["backbone"], vit_ckpt)
+        self.tx = optax.adamw(lr, weight_decay=weight_decay)
         self.train_step = make_vq_train_step(
             self.model, self.tx, use_hnm=use_hnm,
             reg_lambda=reg_lambda,
