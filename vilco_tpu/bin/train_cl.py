@@ -102,12 +102,21 @@ def main(argv=None):
 
     def prep(runner):
         """Apply the shared pre-run flags on any task's runner."""
+        dp = args.dp
         if args.distributed:
             runner.shard = shard
-        if args.dp and hasattr(runner, "enable_data_parallel"):
+            if shard[1] > 1 and not dp:
+                # without a mesh each host would train an independent
+                # diverging replica on 1/N of the data (no gradient
+                # all-reduce) — --distributed implies DP over all devices
+                logging.getLogger("vilco").warning(
+                    "--distributed with %d hosts and no --dp: enabling "
+                    "--dp -1 so gradients all-reduce", shard[1])
+                dp = -1
+        if dp and hasattr(runner, "enable_data_parallel"):
             from vilco_tpu.parallel.mesh import make_mesh
 
-            n = None if args.dp == -1 else args.dp
+            n = None if dp == -1 else dp
             runner.enable_data_parallel(make_mesh(n))
         if args.init_from:
             from vilco_tpu.core.checkpoint import load_params_into

@@ -218,20 +218,31 @@ class EpisodeRunner:
 
         return jax.device_put(tree, replicated(tree, self.mesh))
 
-    def _to_device(self, batch):
+    def _to_device(self, batch, is_training: bool = True):
         batch = {k: v for k, v in batch.items() if k != "video_idx"}
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
-        from vilco_tpu.parallel.mesh import batch_shardings
+        from vilco_tpu.parallel.mesh import batch_shardings, replicated
 
-        shardings = batch_shardings(batch, self.mesh)
         if jax.process_count() > 1:
-            return {
-                k: jax.make_array_from_process_local_data(
-                    shardings[k], np.asarray(v)
-                )
-                for k, v in batch.items()
-            }
+            if is_training:
+                # each host holds its BatchIterator shard; assemble the
+                # global batch across hosts
+                shardings = batch_shardings(batch, self.mesh)
+                return {
+                    k: jax.make_array_from_process_local_data(
+                        shardings[k], np.asarray(v)
+                    )
+                    for k, v in batch.items()
+                }
+            # EVAL loaders are deliberately unsharded (every host loads the
+            # same batch): cross-host assembly would stack the identical
+            # copies as distinct shards and leave outputs not fully
+            # addressable per host — replicate instead
+            shardings = replicated(batch, self.mesh)
+            return {k: jax.device_put(jnp.asarray(v), shardings[k])
+                    for k, v in batch.items()}
+        shardings = batch_shardings(batch, self.mesh)
         return {k: jax.device_put(jnp.asarray(v), shardings[k])
                 for k, v in batch.items()}
 
@@ -246,7 +257,8 @@ class EpisodeRunner:
                            prefetch=self.cfg.loader.prefetch)
         out = {}
         for batch, meta in it:
-            res = self.eval_step(params, self._to_device(batch))
+            res = self.eval_step(params,
+                                 self._to_device(batch, is_training=False))
             logits = np.asarray(res["cls_logits"])
             for i, vid in enumerate(meta["video_id"]):
                 if not meta["pad"][i]:
@@ -439,7 +451,10 @@ class EpisodeRunner:
             loader.set_epoch(ep)
             for batch, _ in loader:
                 bias, opt2, m = step2(
-                    bias, opt2, self.params, self._to_device(batch), cl,
+                    bias, opt2, self.params,
+                    # this loader is host-unsharded: replicate, don't
+                    # cross-host assemble (see _to_device)
+                    self._to_device(batch, is_training=False), cl,
                     loss_norm,
                 )
         self.bic.alphas[j] = float(bias["alpha"])
@@ -475,7 +490,8 @@ class EpisodeRunner:
                            prefetch=self.cfg.loader.prefetch)
         levels = None
         for batch, meta in it:
-            out = self.eval_step(self.params, self._to_device(batch),
+            out = self.eval_step(self.params,
+                                 self._to_device(batch, is_training=False),
                                  getattr(self, "_adapter_ema", None))
             feats = [np.asarray(f) for f in out["fpn_feats"]]
             keep = [i for i, p in enumerate(meta["pad"]) if not p]
@@ -513,7 +529,8 @@ class EpisodeRunner:
             bias = (jnp.asarray(a), jnp.asarray(b))
         for batch, meta in it:
             out = self.eval_step(
-                self.params, self._to_device(batch), adapter_ema
+                self.params, self._to_device(batch, is_training=False),
+                adapter_ema,
             )
             if bias is not None:
                 out = dict(out)

@@ -92,13 +92,16 @@ def clean_box_flags(track: Dict[int, List[float]],
                     min_size: float = 0.05,
                     max_ratio: float = 2.5) -> Dict[int, List[float]]:
     """Drop degenerate boxes (`_process_bbox` base_dataset.py:270-291):
-    per-axis size < 5% of the original frame or aspect ratio beyond 2.5."""
-    h, w = float(original_hw[0]), float(original_hw[1])
-    s = max(h, w)
+    per-axis size < 5% or aspect ratio beyond 2.5, both measured in the
+    [0, 1] coordinates of the padded SQUARE frame — exactly the units our
+    tracks are stored in (scale_box divides by max(h, w)), matching the
+    reference check."""
+    del original_hw  # kept for signature stability; the check is
+    # square-frame-relative like the reference's
     out = {}
     for fno, (x1, y1, x2, y2) in track.items():
-        bw = (x2 - x1) * s / w   # fraction of the ORIGINAL width/height,
-        bh = (y2 - y1) * s / h   # like the reference's pre-padding check
+        bw = x2 - x1
+        bh = y2 - y1
         if bw <= min_size or bh <= min_size:
             continue
         ratio = bh / max(bw, 1e-9)
@@ -283,6 +286,11 @@ class VideoFrameSource(_BaseFrameSource):
         if path != self._cap_path:
             if self._cap is not None:
                 self._cap.release()
+                # clear the cache BEFORE attempting the new open: a failed
+                # open must not leave a released capture addressable under
+                # the old path
+                self._cap = None
+                self._cap_path = None
             cap = cv2.VideoCapture(path)
             if not cap.isOpened():
                 raise FileNotFoundError(f"cannot open clip {path}")
