@@ -214,3 +214,37 @@ def test_temporal_nms_enclosing_matches_reference_semantics():
     keep2 = temporal_nms_enclosing(segs2, np.array([0.9, 0.8], np.float32),
                                    nms_thd=0.5, max_out=5)
     assert keep2 == [0, 1]
+
+
+def test_checkpoint_tagged_format_roundtrip(tmp_path):
+    """The pickle-free checkpoint format round-trips the full CL episode
+    state: arrays, tuples, None, bools, and int/tuple dict keys."""
+    import numpy as np
+
+    from vilco_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+
+    tree = {
+        "params": {"dense": {"kernel":
+                             np.arange(6, dtype=np.float32).reshape(2, 3)}},
+        "task": 3, "none": None, "flag": True,
+        "reg_list": [({"w": np.ones(2)}, {"w": np.zeros(2)}, "ewc")],
+        "bwf": {0: {0: 0.5, 1: 0.25}},
+        "tup": (1, "a", None),
+        "query_keyed": {("clip", "ann", 0): [1.0, 2.0]},
+        "scalar": np.float32(1.5),
+    }
+    p = str(tmp_path / "x.ckpt")
+    save_checkpoint(p, tree)
+    # it really is the safe zip format, not a pickle
+    with open(p, "rb") as f:
+        assert f.read(2) == b"PK"
+    out = load_checkpoint(p)
+    assert out["task"] == 3 and out["none"] is None and out["flag"] is True
+    assert isinstance(out["reg_list"][0], tuple)
+    assert out["reg_list"][0][2] == "ewc"
+    assert out["bwf"] == {0: {0: 0.5, 1: 0.25}}
+    assert out["tup"] == (1, "a", None)
+    assert out["query_keyed"] == {("clip", "ann", 0): [1.0, 2.0]}
+    assert float(out["scalar"]) == 1.5
+    np.testing.assert_array_equal(out["params"]["dense"]["kernel"],
+                                  tree["params"]["dense"]["kernel"])

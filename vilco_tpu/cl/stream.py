@@ -70,12 +70,14 @@ class RehearsalMemory:
         return _dedup_by_id(out)
 
     def save(self, path: str):
-        with open(path, "wb") as f:
-            pickle.dump(self.data, f)
+        from vilco_tpu.core.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.data)
 
     def load(self, path: str):
-        with open(path, "rb") as f:
-            self.data = pickle.load(f)
+        from vilco_tpu.core.checkpoint import load_checkpoint
+
+        self.data = load_checkpoint(path)
 
 
 class TaskStream:

@@ -1,34 +1,90 @@
 """Checkpoint save/restore.
 
-Replaces the reference's torch.save dicts
+Replaces the reference's torch.save pickles
 ({task, epoch, state_dict, scheduler, optimizer, reg_params},
-MQ/train_cl.py:300-315) with flax msgpack serialization of explicit pytrees.
-CL state (fisher/importance stacks, rehearsal-memory index, prompt pool
-inside params, memory bank) is part of the saved tree so resume restores the
-full episode (SURVEY.md section 5 checkpoint/resume).
+MQ/train_cl.py:300-315) with a SAFE self-describing format: a JSON
+structure manifest (tagging dicts/tuples/lists/scalars, including non-str
+dict keys) plus an npz of all array leaves, in one zip file. Unlike
+pickle it executes no code on load and is stable across library versions;
+unlike plain flax-msgpack it round-trips tuples, None, and int dict keys
+exactly (the CL episode state needs all three). CL state (fisher/importance
+stacks, rehearsal-memory index, prompt pool inside params, memory bank) is
+part of the saved tree so resume restores the full episode (SURVEY.md
+section 5 checkpoint/resume).
 """
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
-from typing import Any, Dict
+from typing import Any, Dict, List
 
 import jax
 import numpy as np
 from flax import serialization
 
 
+# ------------------------------------------------ tagged tree <-> manifest
+
+def _encode(obj, arrays: List[np.ndarray]):
+    if isinstance(obj, (np.ndarray, jax.Array)) or isinstance(obj, np.generic):
+        arrays.append(np.asarray(obj))
+        return {"__t": "arr", "i": len(arrays) - 1}
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return {"__t": "raw", "v": obj}
+    if isinstance(obj, tuple):
+        return {"__t": "tup", "v": [_encode(x, arrays) for x in obj]}
+    if isinstance(obj, list):
+        return {"__t": "list", "v": [_encode(x, arrays) for x in obj]}
+    if isinstance(obj, dict):
+        return {"__t": "dict",
+                "v": [[_encode(k, arrays), _encode(v, arrays)]
+                      for k, v in obj.items()]}
+    raise TypeError(
+        f"checkpoint: unsupported leaf type {type(obj).__name__}; "
+        "convert to arrays / dicts / tuples before saving")
+
+
+def _decode(node, arrays):
+    t = node["__t"]
+    if t == "arr":
+        return arrays[node["i"]]
+    if t == "raw":
+        return node["v"]
+    if t == "tup":
+        return tuple(_decode(x, arrays) for x in node["v"])
+    if t == "list":
+        return [_decode(x, arrays) for x in node["v"]]
+    if t == "dict":
+        return {_decode(k, arrays): _decode(v, arrays)
+                for k, v in node["v"]}
+    raise ValueError(f"checkpoint: unknown node tag {t!r}")
+
+
 def save_checkpoint(path: str, tree: Dict[str, Any]):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    host_tree = jax.tree.map(np.asarray, tree)
-    with open(path, "wb") as f:
-        pickle.dump(host_tree, f)
+    arrays: List[np.ndarray] = []
+    manifest = _encode(tree, arrays)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __manifest__=np.frombuffer(
+            json.dumps(manifest).encode(), dtype=np.uint8),
+            **{f"a{i}": a for i, a in enumerate(arrays)})
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        magic = f.read(2)
+    if magic != b"PK":            # not a zip: a legacy pickle checkpoint
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    data = np.load(path, allow_pickle=False)
+    manifest = json.loads(bytes(data["__manifest__"]).decode())
+    arrays = {int(k[1:]): data[k] for k in data.files if k != "__manifest__"}
+    return _decode(manifest, arrays)
 
 
 def load_params_into(path: str, target_params):
