@@ -108,7 +108,7 @@ def bench_eval(args, cfg, model, params, points, n_params, accel, rng):
     # eval_fn is a single-device jit pinned to `accel` — per-chip by
     # construction, no device_count division
     value = args.steps * B / dt
-    print(json.dumps({
+    return {
         "metric": f"{args.model}_flagship_eval_throughput",
         "value": round(value, 3),
         "unit": "clips/s/chip",
@@ -122,7 +122,7 @@ def bench_eval(args, cfg, model, params, points, n_params, accel, rng):
             "platform": jax.devices()[0].platform,
             "baseline_estimated": True,
         },
-    }))
+    }
 
 
 def bench_vq(args):
@@ -208,7 +208,7 @@ def bench_vq(args):
     loss_val = float(metrics["final_loss"])
     dt = time.time() - t0
     value = args.steps * B / dt / jax.device_count()
-    print(json.dumps({
+    return {
         "metric": "vq_flagship_train_throughput",
         "value": round(value, 3),
         "unit": "samples/s/chip",
@@ -225,10 +225,10 @@ def bench_vq(args):
             "loss": loss_val,
             "baseline_estimated": True,
         },
-    }))
+    }
 
 
-def main():
+def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--fast", action="store_true",
                    help="tiny shapes (CPU smoke)")
@@ -265,8 +265,16 @@ def main():
                    help="benchmark INFERENCE instead: batched forward + "
                         "on-device decode + NMS (the reference evals "
                         "batch-1 with a CPU C++ NMS round-trip)")
-    args = p.parse_args()
+    p.add_argument("--all", action="store_true",
+                   help="bench mq + nlq + vq and emit ONE line: the MQ "
+                        "headline with nlq/vq sub-records under "
+                        "detail.sub (round-over-round regression trail "
+                        "for the non-flagship models)")
+    return p.parse_args(argv)
 
+
+def run_one(args):
+    """Run one model's bench and return its JSON record."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -287,10 +295,17 @@ def main():
     from vilco_tpu.train.optim import make_optimizer
 
     if args.model == "vq":
-        return bench_vq(args)
+        return bench_vq(args)  # returns the record
 
-    cfg = (_nlq_flagship_cfg() if args.model == "nlq"
-           else _flagship_cfg(tiny=args.fast))
+    if args.model == "nlq":
+        if args.fast:
+            from vilco_tpu.tasks.nlq import nlq_tiny_config
+
+            cfg = nlq_tiny_config()
+        else:
+            cfg = _nlq_flagship_cfg()
+    else:
+        cfg = _flagship_cfg(tiny=args.fast)
     if args.no_fused:
         cfg = cfg.updated(model=cfg.model.updated(fused_attention=False))
     if args.fused:
@@ -352,7 +367,7 @@ def main():
     ))
     if args.eval:
         return bench_eval(args, cfg, model, params, points,
-                          n_params, accel, rng)
+                          n_params, accel, rng)  # returns the record
     K = max(args.scan_steps, 1)
     if K > 1:
         step = make_multi_train_step(model, tx, points, cfg, K)
@@ -407,7 +422,7 @@ def main():
     clips_per_s = args.steps * K * B / dt
     n_chips = jax.device_count()
     value = clips_per_s / n_chips
-    print(json.dumps({
+    return {
         "metric": f"{args.model}_flagship_train_throughput",
         "value": round(value, 3),
         "unit": "clips/s/chip",
@@ -423,7 +438,35 @@ def main():
             "loss": loss_val,
             "baseline_estimated": True,
         },
-    }))
+    }
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if not args.all:
+        print(json.dumps(run_one(args)))
+        return
+    import copy
+
+    recs = {}
+    for m in ("mq", "nlq", "vq"):
+        a = copy.copy(args)
+        a.model = m
+        a.batch = args.batch if m == "mq" else None
+        recs[m] = run_one(a)
+    head = recs["mq"]
+    head["detail"]["sub"] = {
+        m: {
+            "metric": recs[m]["metric"],
+            "value": recs[m]["value"],
+            "unit": recs[m]["unit"],
+            "vs_baseline": recs[m]["vs_baseline"],
+            "step_ms": recs[m]["detail"]["step_ms"],
+            "batch": recs[m]["detail"]["batch"],
+        }
+        for m in ("nlq", "vq")
+    }
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":
