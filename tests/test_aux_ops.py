@@ -248,3 +248,58 @@ def test_checkpoint_tagged_format_roundtrip(tmp_path):
     assert float(out["scalar"]) == 1.5
     np.testing.assert_array_equal(out["params"]["dense"]["kernel"],
                                   tree["params"]["dense"]["kernel"])
+
+
+def test_vq_random_resized_crop_bbox_consistency(rng):
+    """The crop's bbox remap must track the pixels: paint the box region
+    white on black, crop, and recover the box from the bright pixels."""
+    from vilco_tpu.data.vq_augment import random_resized_crop_clip
+
+    B, T, S = 4, 2, 64
+    clip = np.zeros((B, T, S, S, 3), np.float32)
+    box = np.array([0.375, 0.25, 0.625, 0.5], np.float32)  # x1 y1 x2 y2
+    x1, y1, x2, y2 = (box * S).astype(int)
+    clip[:, :, y1:y2, x1:x2, :] = 1.0
+    bbox = np.tile(box, (B, T, 1)).astype(np.float32)
+    with_bbox = np.ones((B, T), np.float32)
+
+    out_clip, out_bbox, out_wb = jax.jit(random_resized_crop_clip)(
+        jax.random.PRNGKey(42), jnp.asarray(clip), jnp.asarray(bbox),
+        jnp.asarray(with_bbox))
+    out_clip = np.asarray(out_clip)
+    out_bbox = np.asarray(out_bbox)
+    out_wb = np.asarray(out_wb)
+    assert out_clip.shape == clip.shape
+
+    tol = 2.5 / S  # bilinear edge blur
+    for b in range(B):
+        for t in range(T):
+            ys, xs = np.where(out_clip[b, t, :, :, 0] > 0.5)
+            if not out_wb[b, t]:
+                continue
+            assert len(xs) > 0, "valid box but no bright pixels survived"
+            got = np.array([xs.min() / S, ys.min() / S,
+                            (xs.max() + 1) / S, (ys.max() + 1) / S])
+            np.testing.assert_allclose(out_bbox[b, t], got, atol=tol)
+
+
+def test_vq_crop_invalidates_out_of_frame_boxes():
+    from vilco_tpu.data.vq_augment import random_resized_crop_clip
+
+    # a crop window that excludes the box must flip with_bbox to 0:
+    # brute-force keys until one crop misses the corner box
+    B, T, S = 8, 1, 16
+    clip = np.zeros((B, T, S, S, 3), np.float32)
+    bbox = np.tile(np.array([0.0, 0.0, 0.08, 0.08], np.float32), (B, T, 1))
+    wb = np.ones((B, T), np.float32)
+    flipped_any = False
+    for seed in range(6):
+        _, out_bbox, out_wb = random_resized_crop_clip(
+            jax.random.PRNGKey(seed), jnp.asarray(clip), jnp.asarray(bbox),
+            jnp.asarray(wb), scale=(0.3, 0.5))
+        out_wb = np.asarray(out_wb)
+        flipped_any |= (out_wb == 0).any()
+        # clamped boxes stay in range either way
+        ob = np.asarray(out_bbox)
+        assert (ob >= 0).all() and (ob <= 1).all()
+    assert flipped_any, "no crop ever invalidated the corner box"
