@@ -123,3 +123,57 @@ def test_dir_feature_source_aligns_folder_lengths(tmp_path):
     out = src({"id": "clip1"})
     assert out.shape == (8, 5)
     assert np.allclose(out[:, 3:], 2.0)
+
+
+class _LongSource:
+    """Features twice as long as max_seq_len, regardless of the video."""
+
+    def __init__(self, input_dim, t_in):
+        self.input_dim = input_dim
+        self.t_in = t_in
+
+    def __call__(self, video):
+        rng = np.random.default_rng(abs(hash(video["id"])) % 2**32)
+        return rng.standard_normal((self.t_in, self.input_dim)).astype(
+            np.float32)
+
+
+def test_overlength_clips_eval_resize_and_train_window():
+    """Clips longer than max_seq_len: eval compresses onto the static grid
+    with an adjusted stride (full duration covered); training crops a
+    random max_seq_len window via truncate_feats — including windows that
+    the old first-T pre-truncation could never reach."""
+    cfg = tiny_config()
+    cfg = cfg.updated(dataset=cfg.dataset.updated(
+        force_upsampling=False, feat_stride=16.0, num_frames=16.0))
+    T = cfg.dataset.max_seq_len
+    t_in = 2 * T
+    fps = 30.0
+    dur = t_in * 16.0 / fps
+    # the only action sits at the very END of the clip
+    end_t = dur - 2.0
+    videos = [{"id": f"v{i}", "duration": dur, "fps": fps,
+               "segments": np.array([[end_t - 6.0, end_t]], np.float32),
+               "labels": np.array([1], np.int64)} for i in range(4)]
+    src = _LongSource(cfg.dataset.input_dim, t_in)
+
+    # ---- eval: full clip compressed to T, stride doubled, action kept
+    ds = ClipDataset(videos, cfg, src, is_training=False)
+    s = ds[0]
+    assert s["t_len"] == T
+    assert s["feats"].shape[0] == T
+    np.testing.assert_allclose(
+        s["feat_stride"], ((t_in - 1) * 16.0 + 16.0) / T)
+    assert len(s["segments"]) == 1
+    # the end-of-clip action maps inside the compressed grid
+    assert 0 < s["segments"][0][1] <= T + 1
+
+    # ---- train: random window of exactly T containing the action
+    ds = ClipDataset(videos, cfg, src, is_training=True)
+    it = BatchIterator(ds, cfg, 4, is_training=True, seed=0)
+    batch, meta = next(iter(it))
+    assert batch["feats"].shape[1] == T
+    # every sample kept its end-of-clip action => the window started past
+    # the first-T prefix (the old pre-truncation would have dropped it)
+    assert batch["gt_valid"][:, 0].all()
+    assert (batch["gt_segments"][:, 0, 1] > 0).all()

@@ -190,8 +190,20 @@ class ClipDataset:
             num_frames = ds.num_frames
             if ds.downsample_rate > 1:
                 feats = feats[:: ds.downsample_rate]
-            t_len = min(feats.shape[0], T)
-            feats = feats[:t_len]
+            t_len = feats.shape[0]
+            if not self.is_training and t_len > T:
+                # over-length EVAL clips: compress onto the static grid
+                # with the effective stride recomputed (the reference
+                # instead grows T to the next divisible size and linearly
+                # re-interpolates the abs PE, backbones.py:229-236 — a
+                # dynamic shape that would recompile per clip under jit;
+                # both cover the full duration, PARITY.md)
+                feat_stride = ((t_len - 1) * feat_stride + num_frames) / T
+                num_frames = feat_stride
+                feats = linear_resize(feats, T)
+                t_len = T
+            # over-length TRAIN clips keep native length here; the
+            # max_seq_len random-window crop happens in truncate_feats
 
         # seconds -> grid coords (ego4d.py:729-733; NLQ omits the centering
         # offset, ego4d_loader.py:180-186)
@@ -255,18 +267,31 @@ def truncate_feats(
     sample: dict, max_seq_len: int, trunc_thresh: float,
     crop_ratio, rng: np.random.Generator, max_num_trials: int = 200,
 ):
-    """Random-crop truncation augmentation (data_utils.py:24-110): crop a
-    window so that at least one action keeps >= trunc_thresh of its span."""
+    """Random-window truncation (data_utils.py:24-110). Two duties, like
+    the reference: (a) clips longer than max_seq_len ALWAYS get cropped to
+    a max_seq_len window; (b) within-limit clips optionally get a shorter
+    random crop sized by crop_ratio. Windows are resampled up to
+    max_num_trials until one keeps >= trunc_thresh of some action — and,
+    exactly like the reference, the LAST sampled window is used even when
+    no trial succeeds."""
     t_len = sample["t_len"]
-    if crop_ratio is None:
-        return sample
-    lo = int(round(crop_ratio[0] * t_len))
-    hi = int(round(crop_ratio[1] * t_len))
-    win = int(rng.integers(lo, hi + 1))
-    win = max(2, min(win, t_len))
-    if win == t_len or len(sample["segments"]) == 0:
-        return sample
+    if t_len <= max_seq_len:
+        if crop_ratio is None:
+            return sample
+        win = int(rng.integers(max(round(crop_ratio[0] * t_len), 1),
+                               min(round(crop_ratio[1] * t_len), t_len) + 1))
+        win = max(2, win)
+        if win >= t_len:
+            return sample
+    else:
+        win = max_seq_len
     segs = sample["segments"]
+    if len(segs) == 0:
+        start = int(rng.integers(0, t_len - win + 1))
+        out = dict(sample)
+        out["feats"] = sample["feats"][start:start + win]
+        out["t_len"] = win
+        return out
     for _ in range(max_num_trials):
         start = int(rng.integers(0, t_len - win + 1))
         end = start + win
@@ -276,15 +301,15 @@ def truncate_feats(
         ratio = inter / np.maximum(segs[:, 1] - segs[:, 0], 1e-6)
         keep = ratio >= trunc_thresh
         if keep.any():
-            out = dict(sample)
-            out["feats"] = sample["feats"][start:end]
-            out["t_len"] = win
-            out["segments"] = (
-                np.stack([left[keep], right[keep]], -1) - start
-            ).astype(np.float32)
-            out["labels"] = sample["labels"][keep]
-            return out
-    return sample
+            break
+    out = dict(sample)
+    out["feats"] = sample["feats"][start:end]
+    out["t_len"] = win
+    out["segments"] = (
+        np.stack([left[keep], right[keep]], -1) - start
+    ).astype(np.float32)
+    out["labels"] = sample["labels"][keep]
+    return out
 
 
 def collate(samples: List[dict], cfg: Config) -> Dict[str, np.ndarray]:
@@ -416,7 +441,9 @@ class BatchIterator:
 
     def _build(self, sel, pad, batch_rng):
         samples = [self.dataset[i] for i in sel]
-        if self.is_training and self.cfg.dataset.crop_ratio is not None:
+        if self.is_training:
+            # no-op for within-limit clips without crop_ratio; enforces
+            # the max_seq_len window crop for over-length clips
             samples = [
                 truncate_feats(
                     s, self.cfg.dataset.max_seq_len,

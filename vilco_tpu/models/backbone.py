@@ -67,6 +67,11 @@ class ConvTransformerBackbone(nn.Module):
             cfg.backbone_arch[0], cfg.backbone_arch[1], cfg.backbone_arch[-1]
         )
         T = x.shape[1]
+        # n_mha_win_size is the TOTAL window width like the reference's
+        # LocalMaskedMHCA window_size (banded half-width = size // 2); the
+        # shipped MQ flagship uses -1 = dense, where the reference backbone
+        # ignores the knob entirely (it never constructs local attention)
+        win = cfg.n_mha_win_size // 2 if cfg.n_mha_win_size > 1 else -1
 
         # embedding convs (+LN+ReLU)
         for i in range(n_convs):
@@ -103,7 +108,7 @@ class ConvTransformerBackbone(nn.Module):
                     E, cfg.n_head,
                     proj_drop=cfg.dropout, path_drop=cfg.droppath,
                     t_c_alpha=cfg.t_c_alpha, use_cross_modal=False,
-                    window=cfg.n_mha_win_size, use_fused=_use_fused(cfg),
+                    window=win, use_fused=_use_fused(cfg),
                     attention_impl=_attn_impl(cfg), name=f"txt_stem_{i}",
                 )(src_query, src_query_mask, deterministic=deterministic)
 
@@ -113,7 +118,7 @@ class ConvTransformerBackbone(nn.Module):
                 E, cfg.n_head,
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
-                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg),
+                window=win, use_fused=_use_fused(cfg),
                     attention_impl=_attn_impl(cfg), name=f"stem_{i}",
             )(x, mask, deterministic=deterministic)
 
@@ -143,7 +148,7 @@ class ConvTransformerBackbone(nn.Module):
                 E, cfg.n_head,
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
-                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg),
+                window=win, use_fused=_use_fused(cfg),
                     attention_impl=_attn_impl(cfg), name="pre_branch",
             )(x, mask, deterministic=deterministic)
 
@@ -156,7 +161,7 @@ class ConvTransformerBackbone(nn.Module):
                 E, cfg.n_head, n_ds_stride=cfg.scale_factor,
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cross,
-                window=cfg.n_mha_win_size, use_fused=_use_fused(cfg),
+                window=win, use_fused=_use_fused(cfg),
                     attention_impl=_attn_impl(cfg),
                 adapter_t_in=t_cur if i in self.adapt_blocks else 0,
                 name=f"branch_{i}",
