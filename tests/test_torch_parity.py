@@ -328,3 +328,50 @@ def test_full_mq_forward_parity(ref, rng, use_xl, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(out["cls_logits"]), t_cls,
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["offsets"]), t_reg, atol=2e-4)
+
+
+def test_xlnet_mems_recurrence_parity(ref, rng):
+    """Streamed chunks with the Transformer-XL memory: our layer fed the
+    cached previous chunk must match the vendored XLNetModel running with
+    use_mems=True (modeling_xlnet_x.py cache_mem + qlen/klen rel-PE)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.models.layers import XLRelAttention, xl_cache_mems
+
+    cfgd = dict(attn_type="bi", bi_data=False, clamp_len=-1, d_head=8,
+                d_inner=64, d_model=32, dropout=0.0, ff_activation="gelu",
+                layer_norm_eps=1e-12, mem_len=16, model_type="xlnet",
+                n_head=4, n_layer=1, untie_r=True, reuse_len=None,
+                same_length=False, vocab_size=1000)
+    xl_cfg = ref.modeling.modeling_xlnet_x.XLNetConfig.from_dict(cfgd)
+    model = ref.modeling.modeling_xlnet_x.XLNetModel(xl_cfg).eval()
+
+    B, T, C = 2, 12, 32
+    x1 = rng.standard_normal((B, T, C), dtype=np.float32)
+    x2 = rng.standard_normal((B, T, C), dtype=np.float32)
+    full = np.ones((B, T), np.int64)
+    with torch.no_grad():
+        out1 = model(inputs_embeds=torch.from_numpy(x1),
+                     attention_mask=torch.from_numpy(full), use_mems=True)
+        t_o1, t_mems = out1[0], out1[1]
+        out2 = model(inputs_embeds=torch.from_numpy(x2),
+                     attention_mask=torch.from_numpy(full),
+                     mems=t_mems, use_mems=True)
+        t_o2 = out2[0]
+
+    ours = XLRelAttention(d_model=C, n_head=4, d_inner=64, dropout=0.0)
+    mask = np.ones((B, T), bool)
+    tmpl = ours.init(jax.random.PRNGKey(0), x1, mask)["params"]
+    params = fill_from_rules(tmpl, _prefixed_sd(model, "m"),
+                             _xl_rules("m.layer.0"))
+
+    o1 = ours.apply({"params": params}, x1, mask)
+    np.testing.assert_allclose(np.asarray(o1), _np(t_o1), atol=TOL)
+    # the cached memory is the layer's INPUT (x1), truncated to mem_len
+    mems = xl_cache_mems(None, jnp.asarray(x1), mem_len=16)
+    np.testing.assert_allclose(np.asarray(mems),
+                               _np(t_mems[0]).transpose(1, 0, 2)[:, -16:],
+                               atol=TOL)
+    o2 = ours.apply({"params": params}, x2, mask, mems=mems)
+    np.testing.assert_allclose(np.asarray(o2), _np(t_o2), atol=TOL)

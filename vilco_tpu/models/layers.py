@@ -357,14 +357,29 @@ class TransformerBlock(nn.Module):
         return out, out_mask
 
 
+def xl_cache_mems(prev_mems, x, mem_len: int):
+    """Transformer-XL memory update (cache_mem, modeling_xlnet_x.py:997-
+    1016): append the layer's INPUT hidden states and keep the last
+    `mem_len`, detached. prev_mems may be None."""
+    cat = x if prev_mems is None else jnp.concatenate([prev_mems, x], axis=1)
+    return jax.lax.stop_gradient(cat[:, -mem_len:])
+
+
 class XLRelAttention(nn.Module):
     """Single-stream Transformer-XL relative attention + FF layer.
 
     Equivalent to the XLNet stage the MQ backbone inserts at branch level 0
     (MQ/libs/modeling/backbones.py:267-274; XLNetRelativeAttention
-    modeling_xlnet_x.py:210+, attn_type 'bi', no mems / no two-stream as
-    invoked). Post-LN residuals, learned r_w/r_r biases, sinusoid relative
-    positions.
+    modeling_xlnet_x.py:210+, attn_type 'bi'). Post-LN residuals, learned
+    r_w/r_r biases, sinusoid relative positions.
+
+    Supports the mems recurrence for streaming long videos in fixed-size
+    chunks: pass `mems` (B, M, C) = the previous chunk's layer INPUT cached
+    via `xl_cache_mems`, and keys/values extend over [mems; x] with the
+    relative positions shifted accordingly (relative_positional_encoding
+    qlen/klen, modeling_xlnet_x.py:1228). The two-stream (query-stream)
+    attention of XLNet pretraining is out of scope — the reference backbone
+    never invokes it (PARITY.md).
     """
 
     d_model: int
@@ -377,7 +392,8 @@ class XLRelAttention(nn.Module):
     use_fused: bool = False
 
     @nn.compact
-    def __call__(self, x, mask, deterministic=True):
+    def __call__(self, x, mask, deterministic=True, mems=None,
+                 mems_mask=None):
         B, T, C = x.shape
         H = self.n_head
         D = C // H
@@ -395,19 +411,34 @@ class XLRelAttention(nn.Module):
         r_r_bias = self.param("r_r_bias", nn.initializers.normal(0.02),
                               (H, D), jnp.float32).astype(x.dtype)
 
-        # relative positional encoding, pos from T..-T (bi attention)
-        pos_seq = jnp.arange(T, -T, -1.0, dtype=jnp.float32)
+        # streamed chunks: keys/values extend over the cached previous
+        # chunk (mems), queries stay on the current chunk
+        if mems is not None and mems.shape[1] > 0:
+            M = mems.shape[1]
+            cat = jnp.concatenate([mems.astype(x.dtype), x], axis=1)
+            kv_mask = jnp.concatenate(
+                [mems_mask if mems_mask is not None
+                 else jnp.ones((B, M), bool), mask], axis=1)
+        else:
+            M = 0
+            cat = x
+            kv_mask = mask
+        K = M + T
+
+        # relative positional encoding, pos from klen..-qlen (bi attention,
+        # relative_positional_encoding, modeling_xlnet_x.py:1020-1070)
+        pos_seq = jnp.arange(K, -T, -1.0, dtype=jnp.float32)
         inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, C, 2.0) / C))
         sin_inp = pos_seq[:, None] * inv_freq[None, :]
         pos_emb = jnp.concatenate([jnp.sin(sin_inp), jnp.cos(sin_inp)],
-                                  axis=-1).astype(x.dtype)   # (2T, C)
+                                  axis=-1).astype(x.dtype)   # (K+T, C)
 
         q = jnp.einsum("btc,chd->bthd", x, q_w)
-        k = jnp.einsum("btc,chd->bthd", x, k_w)
-        v = jnp.einsum("btc,chd->bthd", x, v_w)
+        k = jnp.einsum("btc,chd->bthd", cat, k_w)
+        v = jnp.einsum("btc,chd->bthd", cat, v_w)
         r = jnp.einsum("tc,chd->thd", pos_emb, r_w)
 
-        if self.use_fused:
+        if self.use_fused and M == 0:
             from vilco_tpu.kernels.xl_attention import xl_rel_attention
 
             rate = 0.0 if deterministic else self.dropout
@@ -424,18 +455,18 @@ class XLRelAttention(nn.Module):
             ac = jnp.einsum("bqhd,bkhd->bhqk", q + r_w_bias[None, None], k)
             bd = jnp.einsum("bqhd,khd->bhqk", q + r_r_bias[None, None], r)
             # rel shift (rel_shift_bnij, modeling_xlnet_x.py:264-276):
-            # shifted[q, k] = bd[q, T + k - q]. The reshape-slice-reshape
+            # shifted[q, k] = bd[q, K + k - q]. The reshape-slice-reshape
             # form is the TPU-friendly XLA one — an equivalent
             # take_along_axis gather measured ~100x slower (per-element
             # gathers don't vectorize on the VPU lanes).
-            bd = bd.reshape(B, H, 2 * T, T)[:, :, 1:, :]
-            bd = bd.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
+            bd = bd.reshape(B, H, K + T, T)[:, :, 1:, :]
+            bd = bd.reshape(B, H, T, K + T - 1)[:, :, :, :K]
 
             att = (ac + bd) * scale
-            att = jnp.where(mask[:, None, None, :], att, -1e9)
+            att = jnp.where(kv_mask[:, None, None, :], att, -1e9)
             att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
             att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
-            vm = v * mask[:, :, None, None].astype(v.dtype)
+            vm = v * kv_mask[:, :, None, None].astype(v.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", att, vm)
         out = jnp.einsum("bqhd,chd->bqc", out, o_w)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
