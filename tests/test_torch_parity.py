@@ -9,7 +9,9 @@ vilco_tpu.models.torch_import, and compare forward outputs in f32.
 Covered: MaskedConv1D (stride 1/2), channel LayerNorm, MaskedMHCA
 (dense, stride 1/2), LocalMaskedMHCA (banded window), TransformerBlock
 (channel-attn mix + cross-attention + AffineDropPath), the vendored XLNet
-stage, and the full backbone->neck->heads MQ forward.
+stage (single-chunk AND mems-recurrence streaming), the full
+backbone->neck->heads MQ forward, and the NLQ dual-tower backbone
+(loaded from the NLQ sub-repo in isolation).
 """
 
 import numpy as np
@@ -375,3 +377,67 @@ def test_xlnet_mems_recurrence_parity(ref, rng):
                                atol=TOL)
     o2 = ours.apply({"params": params}, x2, mask, mems=mems)
     np.testing.assert_allclose(np.asarray(o2), _np(t_o2), atol=TOL)
+
+
+# ------------------------------------------------- NLQ dual-tower parity
+
+def test_nlq_dual_tower_parity(rng):
+    """Our DualTowerBackbone against the reference NLQ ConvTransformerBackbone
+    (separate sub-repo, loaded in isolation): dual conv embeds, full-attn
+    text stem, cross-modal windowed video stem, strided branch."""
+    import jax
+
+    from tests._reference import load_reference_nlq
+    from vilco_tpu.core.config import Config
+    from vilco_tpu.models.backbone import DualTowerBackbone
+    from vilco_tpu.models.torch_import import dual_tower_rules
+
+    nlq = load_reference_nlq()
+
+    E, H, B, T, L, CIN, CTXT = 32, 4, 2, 64, 8, 16, 24
+    arch = (2, 1, 1, 0, 3)
+    WIN = 9
+    m = nlq.modeling.backbones.ConvTransformerBackbone(
+        n_vid_in=CIN, n_txt_in=CTXT, n_embd=E, n_head=H, n_embd_ks=3,
+        max_len=T, arch=arch, mha_win_size=[WIN] * 4, with_ln=True,
+        use_abs_pe=True, path_pdrop=0.1).eval()
+
+    x = rng.standard_normal((B, T, CIN), dtype=np.float32)
+    mask = _mask_np(B, T, [T, 48])
+    txt = rng.standard_normal((B, L, CTXT), dtype=np.float32)
+    tmask = _mask_np(B, L, [L, 5])
+    with torch.no_grad():
+        feats, masks = m(torch.from_numpy(x.transpose(0, 2, 1)),
+                         torch.from_numpy(mask[:, None]),
+                         torch.from_numpy(txt.transpose(0, 2, 1)),
+                         torch.from_numpy(tmask[:, None]))
+    t_feats = [_np(f).transpose(0, 2, 1) for f in feats]
+    t_masks = [_np(mm)[:, 0].astype(bool) for mm in masks]
+
+    cfg = Config.from_dict({
+        "task": "nlq",
+        "dataset": {"num_classes": 1, "max_seq_len": T, "input_dim": CIN,
+                    "input_txt_dim": CTXT, "max_segments": 4,
+                    "use_text": True},
+        "model": {"variant": "nlq", "backbone_arch": arch, "embd_dim": E,
+                  "fpn_dim": E, "head_dim": E, "n_head": H,
+                  "n_mha_win_size": WIN, "use_abs_pe": True,
+                  "use_cross_modal": True, "n_txt_in": CTXT,
+                  "compute_dtype": "float32",
+                  "regression_range": ((0, 4), (2, 8), (4, 16), (8, 10000))},
+        "train_cfg": {"droppath": 0.1},
+    }).derived()
+    ours = DualTowerBackbone(cfg.model)
+    tmpl = ours.init(jax.random.PRNGKey(0), x, mask, txt, tmask,
+                     deterministic=True)["params"]
+    params = fill_from_rules(
+        tmpl, state_dict_to_numpy(m),
+        dual_tower_rules(arch[0], arch[1], arch[2], arch[3] + arch[4]))
+    o_feats, o_masks = ours.apply({"params": params}, x, mask, txt, tmask,
+                                  deterministic=True)
+    assert len(o_feats) == len(t_feats)
+    for i, (of, tf, om, tm2) in enumerate(
+            zip(o_feats, t_feats, o_masks, t_masks)):
+        np.testing.assert_array_equal(np.asarray(om), tm2, err_msg=f"l{i}")
+        np.testing.assert_allclose(np.asarray(of), tf, atol=2e-4,
+                                   err_msg=f"level {i}")

@@ -215,6 +215,28 @@ def point_transformer_rules(use_xl: bool, xl_layers: int = 1,
     return r
 
 
+def dual_tower_rules(n_convs: int, n_txt_stem: int, n_vid_stem: int,
+                     n_branch: int) -> Dict[str, Tuple[str, Callable]]:
+    """Leaf map for DualTowerBackbone <- the reference NLQ
+    ConvTransformerBackbone (NLQ/libs/modeling/backbones.py:409-614):
+    vid/txt conv embeds, txt self-attn stem, cross-modal vid stem,
+    strided branch. NLQ blocks have no channel attention, so the
+    channel_attn entries of _block_rules simply go unused."""
+    r: Dict[str, Tuple[str, Callable]] = {}
+    for i in range(n_convs):
+        r.update(_masked_conv_rules(f"vid_embd_{i}", f"vid_embd.{i}"))
+        r.update(_cln_rules(f"vid_embd_norm_{i}", f"vid_embd_norm.{i}"))
+        r.update(_masked_conv_rules(f"txt_embd_{i}", f"txt_embd.{i}"))
+        r.update(_cln_rules(f"txt_embd_norm_{i}", f"txt_embd_norm.{i}"))
+    for i in range(n_txt_stem):
+        r.update(_prefix(_block_rules(f"txt_stem.{i}"), f"txt_stem_{i}"))
+    for i in range(n_vid_stem):
+        r.update(_prefix(_block_rules(f"vid_stem.{i}"), f"vid_stem_{i}"))
+    for i in range(n_branch):
+        r.update(_prefix(_block_rules(f"branch.{i}"), f"branch_{i}"))
+    return r
+
+
 # --------------------------------------------------------------- tree utils
 
 def _flatten(tree, prefix=""):
