@@ -441,3 +441,99 @@ def test_nlq_dual_tower_parity(rng):
         np.testing.assert_array_equal(np.asarray(om), tm2, err_msg=f"l{i}")
         np.testing.assert_allclose(np.asarray(of), tf, atol=2e-4,
                                    err_msg=f"level {i}")
+
+
+# ---------------------------------------------------- VQ partial parity
+# The VQ meta-arch deviates by design (GroupNorm replaces BatchNorm/
+# SyncBN; frozen ViT swapped for the Flax ViT with checkpoint import), so
+# parity here pins the exactly-transcribed pieces: the anchor grid and the
+# transformer layers the reference takes straight from torch.nn.
+
+def test_vq_anchor_grid_parity():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "vq_anchor_utils", "/root/reference/VQ/utils/anchor_utils.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from vilco_tpu.ops.anchors import generate_anchors
+
+    ref = mod.generate_anchor_boxes_on_regions(
+        image_size=[448, 448], num_regions=[16, 16])
+    ours = generate_anchors(448, 16)
+    np.testing.assert_allclose(ours, _np(ref), atol=1e-4)
+
+
+def test_vq_decoder_layer_parity(rng):
+    import jax
+
+    from vilco_tpu.models.clip_matcher import DecoderLayer
+
+    C, H, FF, B, L, M = 32, 4, 64, 2, 12, 9
+    t = torch.nn.TransformerDecoderLayer(
+        d_model=C, nhead=H, dim_feedforward=FF, dropout=0.0,
+        activation="gelu", batch_first=True).eval()
+    x = rng.standard_normal((B, L, C), dtype=np.float32)
+    mem = rng.standard_normal((B, M, C), dtype=np.float32)
+    with torch.no_grad():
+        tout = t(torch.from_numpy(x), torch.from_numpy(mem))
+
+    sd = state_dict_to_numpy(t)
+    ours = DecoderLayer(C, H, FF)
+    tmpl = ours.init(jax.random.PRNGKey(0), x, mem)["params"]
+
+    def dense(w, b):
+        return {"kernel": w.T, "bias": b}
+
+    params = dict(tmpl)
+    for name, pre in (("self", "self_attn"), ("cross", "multihead_attn")):
+        w, b = sd[f"{pre}.in_proj_weight"], sd[f"{pre}.in_proj_bias"]
+        for i, part in enumerate("qkv"):
+            params[f"{name}_{part}"] = dense(w[i * C:(i + 1) * C],
+                                             b[i * C:(i + 1) * C])
+        params[f"{name}_o"] = dense(sd[f"{pre}.out_proj.weight"],
+                                    sd[f"{pre}.out_proj.bias"])
+    params["ff1"] = dense(sd["linear1.weight"], sd["linear1.bias"])
+    params["ff2"] = dense(sd["linear2.weight"], sd["linear2.bias"])
+    for i in (1, 2, 3):
+        params[f"norm{i}"] = {"scale": sd[f"norm{i}.weight"],
+                              "bias": sd[f"norm{i}.bias"]}
+    out = ours.apply({"params": params}, x, mem)
+    np.testing.assert_allclose(np.asarray(out), _np(tout), atol=TOL)
+
+
+def test_vq_encoder_layer_parity(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.models.clip_matcher import EncoderLayer, temporal_band_mask
+
+    C, H, FF, B = 32, 4, 64, 2
+    T_, R = 4, 2                      # 4 frames x 2x2 tokens = 16
+    L = T_ * R * R
+    t = torch.nn.TransformerEncoderLayer(
+        d_model=C, nhead=H, dim_feedforward=FF, dropout=0.0,
+        activation="gelu", batch_first=True).eval()
+    x = rng.standard_normal((B, L, C), dtype=np.float32)
+    amask = temporal_band_mask(T_, R * R, window=3)
+    with torch.no_grad():
+        tout = t(torch.from_numpy(x), src_mask=torch.from_numpy(amask))
+
+    sd = state_dict_to_numpy(t)
+    ours = EncoderLayer(C, H, FF)
+    tmpl = ours.init(jax.random.PRNGKey(0), x, jnp.asarray(amask))["params"]
+    params = dict(tmpl)
+    params["qkv"] = {"kernel": sd["self_attn.in_proj_weight"].T,
+                     "bias": sd["self_attn.in_proj_bias"]}
+    params["proj"] = {"kernel": sd["self_attn.out_proj.weight"].T,
+                      "bias": sd["self_attn.out_proj.bias"]}
+    params["ff1"] = {"kernel": sd["linear1.weight"].T,
+                     "bias": sd["linear1.bias"]}
+    params["ff2"] = {"kernel": sd["linear2.weight"].T,
+                     "bias": sd["linear2.bias"]}
+    for i in (1, 2):
+        params[f"norm{i}"] = {"scale": sd[f"norm{i}.weight"],
+                              "bias": sd[f"norm{i}.bias"]}
+    out = ours.apply({"params": params}, x, jnp.asarray(amask))
+    np.testing.assert_allclose(np.asarray(out), _np(tout), atol=TOL)

@@ -121,7 +121,7 @@ class DecoderLayer(nn.Module):
         x = nn.LayerNorm(name="norm1", dtype=x.dtype)(x + attn("self", x, x))
         x = nn.LayerNorm(name="norm2", dtype=x.dtype)(x + attn("cross", x, mem))
         h = nn.Dense(self.ff, name="ff1", dtype=x.dtype)(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # exact erf: torch nn.GELU parity
         h = nn.Dense(self.dim, name="ff2", dtype=x.dtype)(h)
         return nn.LayerNorm(name="norm3", dtype=x.dtype)(x + h)
 
@@ -152,7 +152,7 @@ class EncoderLayer(nn.Module):
             x + nn.Dense(C, name="proj", dtype=x.dtype)(o.reshape(B, L, C))
         )
         h = nn.Dense(self.ff, name="ff1", dtype=x.dtype)(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # exact erf: torch nn.GELU parity
         h = nn.Dense(self.dim, name="ff2", dtype=x.dtype)(h)
         return nn.LayerNorm(name="norm2", dtype=x.dtype)(x + h)
 
