@@ -443,6 +443,9 @@ def run_one(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.all and args.eval:
+        raise SystemExit("--all benches the TRAIN step of all three "
+                         "models; --eval is per-model (drop --all)")
     if not args.all:
         print(json.dumps(run_one(args)))
         return

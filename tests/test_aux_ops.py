@@ -232,6 +232,9 @@ def test_checkpoint_tagged_format_roundtrip(tmp_path):
         "tup": (1, "a", None),
         "query_keyed": {("clip", "ann", 0): [1.0, 2.0]},
         "scalar": np.float32(1.5),
+        # exotic dtype: bf16 optimizer state (mu_dtype default) must
+        # round-trip exactly, not degrade to raw void
+        "mu": jnp.asarray([1.5, -2.25, 0.375], jnp.bfloat16),
     }
     p = str(tmp_path / "x.ckpt")
     save_checkpoint(p, tree)
@@ -248,6 +251,9 @@ def test_checkpoint_tagged_format_roundtrip(tmp_path):
     assert float(out["scalar"]) == 1.5
     np.testing.assert_array_equal(out["params"]["dense"]["kernel"],
                                   tree["params"]["dense"]["kernel"])
+    assert out["mu"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(out["mu"], np.float32),
+                                  [1.5, -2.25, 0.375])
 
 
 def test_vq_random_resized_crop_bbox_consistency(rng):

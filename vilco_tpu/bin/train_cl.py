@@ -51,6 +51,15 @@ def main(argv=None):
                         "fresh init)")
     p.add_argument("--workers", type=int, default=None,
                    help="loader worker threads (prefetching batch build)")
+    p.add_argument("--factored", action="store_true",
+                   help="Adafactor-style factored second moment (halves "
+                        "optimizer-state HBM traffic on the bandwidth-"
+                        "bound TPU step; see RESULTS.md)")
+    p.add_argument("--mu-dtype", choices=["bfloat16", "float32"],
+                   default=None,
+                   help="Adam first-moment dtype (default: config; the "
+                        "shipped default is bfloat16 — float32 restores "
+                        "exact reference AdamW state precision)")
     # real-data VQ sources (data/vq_frames.py)
     p.add_argument("--vq-annotations", default=None,
                    help="Ego4D vq_train.json (with --task vq)")
@@ -103,8 +112,15 @@ def main(argv=None):
     def prep(runner):
         """Apply the shared pre-run flags on any task's runner."""
         dp = args.dp
+        has_dp = hasattr(runner, "enable_data_parallel")
         if args.distributed:
             runner.shard = shard
+            if shard[1] > 1 and not has_dp:
+                # no mesh support -> each host would train an independent
+                # diverging replica; refuse rather than pretend
+                p.error("--distributed with multiple hosts needs a runner "
+                        "with data-parallel support (the VQ runner has "
+                        "none yet) — run single-host")
             if shard[1] > 1 and not dp:
                 # without a mesh each host would train an independent
                 # diverging replica on 1/N of the data (no gradient
@@ -113,11 +129,13 @@ def main(argv=None):
                     "--distributed with %d hosts and no --dp: enabling "
                     "--dp -1 so gradients all-reduce", shard[1])
                 dp = -1
-        if dp and hasattr(runner, "enable_data_parallel"):
+        if dp and has_dp:
             from vilco_tpu.parallel.mesh import make_mesh
 
             n = None if dp == -1 else dp
             runner.enable_data_parallel(make_mesh(n))
+        elif dp:
+            p.error("--dp is not supported by this task's runner (VQ)")
         if args.init_from:
             from vilco_tpu.core.checkpoint import load_params_into
 
@@ -158,6 +176,10 @@ def main(argv=None):
             cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(
                 memory_size=2 * cfg.dataset.num_classes
             ))
+    if args.factored:
+        cfg = cfg.updated(opt=cfg.opt.updated(second_moment="factored"))
+    if args.mu_dtype:
+        cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype=args.mu_dtype))
     if args.epochs:
         cfg = cfg.updated(opt=cfg.opt.updated(epochs=args.epochs))
     if args.num_tasks:
@@ -179,12 +201,22 @@ def main(argv=None):
         # flagship knobs come from the config's vq section
         # (configs/vq_vilco.yaml); CLI flags override
         vqc = cfg.vq if args.config else None
+        if vqc is not None:
+            # CLI size flags override the config consistently (the frame
+            # source AND the model must agree on the geometry)
+            if args.vq_frame_size:
+                vqc = vqc.updated(clip_size=args.vq_frame_size,
+                                  query_size=args.vq_frame_size)
+            if args.vq_window:
+                vqc = vqc.updated(num_frames=args.vq_window)
         vq_kw = {}
         if vqc is not None:
             vq_kw.update(
                 model_cfg=vqc, batch_size=vqc.batch_size, lr=vqc.lr,
                 weight_decay=vqc.weight_decay, use_hnm=vqc.use_hnm,
                 augment=vqc.augment,
+                positive_threshold=vqc.positive_threshold,
+                positive_topk=vqc.positive_topk,
                 vit_ckpt=args.vit_ckpt or vqc.vit_ckpt,
             )
         elif args.vit_ckpt:

@@ -26,10 +26,23 @@ from flax import serialization
 
 # ------------------------------------------------ tagged tree <-> manifest
 
+def _np_safe(a: np.ndarray):
+    """npz round-trips only builtin numpy dtypes; exotic ones (ml_dtypes
+    bfloat16/float8: kind 'V') silently degrade to raw void — store their
+    bytes as a same-width unsigned view plus the dtype name."""
+    if a.dtype.kind != "V":
+        return a, None
+    return a.view(np.dtype(f"u{a.dtype.itemsize}")), a.dtype.name
+
+
 def _encode(obj, arrays: List[np.ndarray]):
     if isinstance(obj, (np.ndarray, jax.Array)) or isinstance(obj, np.generic):
-        arrays.append(np.asarray(obj))
-        return {"__t": "arr", "i": len(arrays) - 1}
+        a, exotic = _np_safe(np.asarray(obj))
+        arrays.append(a)
+        node = {"__t": "arr", "i": len(arrays) - 1}
+        if exotic:
+            node["dt"] = exotic
+        return node
     if obj is None or isinstance(obj, (bool, int, float, str)):
         return {"__t": "raw", "v": obj}
     if isinstance(obj, tuple):
@@ -48,7 +61,12 @@ def _encode(obj, arrays: List[np.ndarray]):
 def _decode(node, arrays):
     t = node["__t"]
     if t == "arr":
-        return arrays[node["i"]]
+        a = arrays[node["i"]]
+        if "dt" in node:
+            import ml_dtypes
+
+            a = a.view(getattr(ml_dtypes, node["dt"]))
+        return a
     if t == "raw":
         return node["v"]
     if t == "tup":

@@ -187,10 +187,13 @@ class LmdbReader:
         return [k for k, _, _ in self._walk(self._main["root"])]
 
     def _build_index(self):
-        self._index = {}
+        # build into a local, publish atomically: concurrent get() calls
+        # from loader worker threads must never see a partial index
+        index: Dict[bytes, Tuple[int, int]] = {}
         if self._main["root"] != P_INVALID:
             for key, voff, vsize in self._walk(self._main["root"]):
-                self._index[key] = (voff, vsize)
+                index[key] = (voff, vsize)
+        self._index = index
 
     def get(self, key: bytes) -> Optional[bytes]:
         if isinstance(key, str):

@@ -271,8 +271,14 @@ def build_nlq_runner(cfg: Config, workdir: str, train_jsonl: str,
     stream = NLQTaskStream(load_nlq_tasks(train_jsonl, fps),
                            load_nlq_tasks(val_jsonl, fps))
     if video_lmdb:
+        if not text_lmdb:
+            raise ValueError("--nlq-video-lmdb needs --nlq-text-lmdb "
+                             "(query_id-keyed token features)")
         feats = LmdbNLQFeatures(video_lmdb, text_lmdb, val_text_lmdb)
     elif video_dir:
+        if not text_dir:
+            raise ValueError("--nlq-video-dir needs --nlq-text-dir "
+                             "({query_id}.npz token features)")
         feats = DirNLQFeatures(video_dir, text_dir)
     else:
         raise ValueError("build_nlq_runner needs --nlq-video-lmdb or "

@@ -197,7 +197,8 @@ class VQEpisodeRunner:
                  use_hnm: bool = False, augment: bool = False,
                  eval_windows: int = 8, use_fused: bool = False,
                  model_cfg=None, vit_ckpt: str = "",
-                 weight_decay: float = 1e-4):
+                 weight_decay: float = 1e-4,
+                 positive_threshold: float = 0.2, positive_topk: int = 5):
         self.stream = stream
         self.source = source
         self.workdir = workdir
@@ -262,6 +263,8 @@ class VQEpisodeRunner:
         self.tx = optax.adamw(lr, weight_decay=weight_decay)
         self.train_step = make_vq_train_step(
             self.model, self.tx, use_hnm=use_hnm,
+            positive_threshold=positive_threshold,
+            positive_topk=positive_topk,
             reg_lambda=reg_lambda,
         )
         self.eval_step = make_vq_eval_step(self.model)

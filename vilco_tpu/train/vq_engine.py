@@ -164,6 +164,7 @@ def make_vq_train_step(
     use_hnm: bool = False,
     from_features: bool = False,
     positive_threshold: float = 0.2,
+    positive_topk: int = 5,
     reg_lambda: float = 0.0,
 ) -> Callable:
     """Jitted VQ train step with optional HNM and EWC/MAS penalty."""
@@ -183,6 +184,7 @@ def make_vq_train_step(
                 gts = replicate_for_hnm(gts, batch["clip"].shape[0])
             loss, metrics, _ = vq_losses(
                 preds, gts, positive_threshold=positive_threshold,
+                positive_topk=positive_topk,
             )
             if reg is not None:
                 from vilco_tpu.train.engine import reg_penalty
