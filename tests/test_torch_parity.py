@@ -38,6 +38,16 @@ def ref():
     return load_reference_mq()
 
 
+@pytest.fixture(autouse=True)
+def _exact_gelu():
+    """Parity runs with the reference's exact-erf GELU; the compute path
+    defaults to the TPU-fast tanh form (ops/activations.py)."""
+    from vilco_tpu.ops.activations import exact_gelu
+
+    with exact_gelu():
+        yield
+
+
 def _np(t):
     return t.detach().cpu().numpy()
 

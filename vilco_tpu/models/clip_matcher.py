@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from vilco_tpu.ops.activations import gelu
+
 from vilco_tpu.core.registry import MODELS
 from vilco_tpu.models.vit import ViT
 from vilco_tpu.ops.anchors import generate_anchors, xyhw_to_xyxy
@@ -121,7 +123,7 @@ class DecoderLayer(nn.Module):
         x = nn.LayerNorm(name="norm1", dtype=x.dtype)(x + attn("self", x, x))
         x = nn.LayerNorm(name="norm2", dtype=x.dtype)(x + attn("cross", x, mem))
         h = nn.Dense(self.ff, name="ff1", dtype=x.dtype)(x)
-        h = nn.gelu(h, approximate=False)  # exact erf: torch nn.GELU parity
+        h = gelu(h)
         h = nn.Dense(self.dim, name="ff2", dtype=x.dtype)(h)
         return nn.LayerNorm(name="norm3", dtype=x.dtype)(x + h)
 
@@ -152,7 +154,7 @@ class EncoderLayer(nn.Module):
             x + nn.Dense(C, name="proj", dtype=x.dtype)(o.reshape(B, L, C))
         )
         h = nn.Dense(self.ff, name="ff1", dtype=x.dtype)(x)
-        h = nn.gelu(h, approximate=False)  # exact erf: torch nn.GELU parity
+        h = gelu(h)
         h = nn.Dense(self.dim, name="ff2", dtype=x.dtype)(h)
         return nn.LayerNorm(name="norm2", dtype=x.dtype)(x + h)
 

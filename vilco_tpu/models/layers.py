@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from vilco_tpu.ops.activations import gelu
+
 from vilco_tpu.ops.attention import banded_attention, channel_attention, masked_attention
 from vilco_tpu.ops.masked import channel_layernorm, masked_conv1d, masked_max_pool1d
 
@@ -238,7 +240,7 @@ class ChannelBlock(nn.Module):
         x = x + cur
         h = nn.LayerNorm(name="norm2", dtype=x.dtype)(x)
         h = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1", dtype=x.dtype)(h)
-        h = nn.gelu(h, approximate=False)  # exact erf: torch nn.GELU parity
+        h = gelu(h)
         h = nn.Dense(C, name="mlp_fc2", dtype=x.dtype)(h)
         if not deterministic and self.drop_path > 0:
             h = _drop_path(h, self.drop_path, deterministic,
@@ -266,7 +268,7 @@ class TimeAdapter(nn.Module):
         hidden = self.down_sample * self.t_in
         xt = jnp.swapaxes(x, 1, 2)   # (B, C, T)
         h = nn.Dense(hidden, name="fc1", dtype=x.dtype)(xt)
-        h = nn.gelu(h, approximate=False)  # exact erf: torch nn.GELU parity
+        h = gelu(h)
         h = nn.Dense(
             self.t_in // self.t_out_factor, name="fc2",
             kernel_init=nn.initializers.zeros, dtype=x.dtype,
@@ -340,7 +342,7 @@ class TransformerBlock(nn.Module):
         n_hidden = self.n_hidden or 4 * E
         h = LayerNormC(name="ln2")(out)
         h = nn.Dense(n_hidden, name="mlp_fc1", dtype=x.dtype)(h)
-        h = nn.gelu(h, approximate=False)  # exact erf: torch nn.GELU parity
+        h = gelu(h)
         h = nn.Dropout(self.proj_drop)(h, deterministic=deterministic)
         h = nn.Dense(E, name="mlp_fc2", dtype=x.dtype)(h)
         h = nn.Dropout(self.proj_drop)(h, deterministic=deterministic)
@@ -473,7 +475,7 @@ class XLRelAttention(nn.Module):
         x = nn.LayerNorm(name="ln_attn", dtype=x.dtype)(x + out)
 
         h = nn.Dense(self.d_inner, name="ff1", dtype=x.dtype)(x)
-        h = nn.gelu(h, approximate=False)  # exact erf: torch nn.GELU parity
+        h = gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, name="ff2", dtype=x.dtype)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from vilco_tpu.ops.activations import gelu
+
 
 class ViTBlock(nn.Module):
     dim: int
@@ -83,7 +85,7 @@ class ViTBlock(nn.Module):
         x = x + out
         h = nn.LayerNorm(name="norm2", dtype=x.dtype)(x)
         h = nn.Dense(int(C * self.mlp_ratio), name="fc1", dtype=x.dtype)(h)
-        h = nn.gelu(h, approximate=False)  # exact erf: torch nn.GELU parity
+        h = gelu(h)
         h = nn.Dense(C, name="fc2", dtype=x.dtype)(h)
         return x + h
 
