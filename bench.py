@@ -196,6 +196,44 @@ def bench_vq(args):
         opt_state=jax.device_put(opt_state, accel),
         rng=jax.random.PRNGKey(1),
     )
+    if args.eval:
+        # sliding-window INFERENCE throughput: batched windows through the
+        # jitted forward + per-frame top-anchor decode (the reference runs
+        # decord decode + per-window forward on GPU with a multiprocessing
+        # pool, VQ/evaluation/task_inference_predict.py)
+        from vilco_tpu.train.vq_engine import make_vq_eval_step
+
+        estep = make_vq_eval_step(model)
+        clips = [jax.device_put(fresh_batch()["clip"], accel)
+                 for _ in range(2)]
+        query = jax.device_put(fresh_batch()["query"], accel)
+        for i in range(max(args.warmup, 1)):
+            bbox, prob = estep(params, clips[i % 2], query)
+        float(prob[0, 0])
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            bbox, prob = estep(params, clips[i % 2], query)
+        float(prob[0, 0])
+        dt = time.perf_counter() - t0
+        value = args.steps * B * T / dt / jax.device_count()
+        return {
+            "metric": "vq_flagship_eval_throughput",
+            "value": round(value, 3),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(
+                value / (REFERENCE_GPU_VQ_SAMPLES_PER_S_ESTIMATE * T), 3
+            ),
+            "detail": {
+                "batch": B, "frames": T, "size": S,
+                "steps": args.steps,
+                "window_ms": round(dt / (args.steps * B) * 1e3, 2),
+                "params_m": round(n_params / 1e6, 1),
+                "devices": jax.device_count(),
+                "platform": jax.devices()[0].platform,
+                "baseline_estimated": True,
+            },
+        }
+
     step = make_vq_train_step(model, tx)
     batches = [jax.device_put(fresh_batch(), accel) for _ in range(2)]
 
