@@ -288,7 +288,11 @@ def parse_args(argv=None):
                    help="disable the fused Pallas XL relative-attention "
                         "kernel (default on; 104 -> 74.7 ms/step)")
     p.add_argument("--mu-bf16", action="store_true",
-                   help="Adam first moment in bfloat16")
+                   help="Adam first moment in bfloat16 (the default since "
+                        "round 2; flag kept for script compat)")
+    p.add_argument("--mu-f32", action="store_true",
+                   help="Adam first moment in float32 (the pre-round-2 "
+                        "default; exact reference state precision)")
     p.add_argument("--flat-opt", action="store_true",
                    help="optax.flatten the moment update into one flat "
                         "buffer (same math, far fewer kernels)")
@@ -354,6 +358,8 @@ def run_one(args):
         cfg = cfg.updated(model=cfg.model.updated(fused_xl=False))
     if args.mu_bf16:
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype="bfloat16"))
+    if args.mu_f32:
+        cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype="float32"))
     if args.factored:
         cfg = cfg.updated(opt=cfg.opt.updated(second_moment="factored"))
     if args.flat_opt:
