@@ -137,3 +137,21 @@ def test_nlq_episode_from_lmdb(tmp_path):
     assert np.isfinite(results["final"]["avg_R1@0.3"])
     # one task per template in the jsonl (nlq_tiny_config: 3)
     assert len(results["final"]["per_task"]) == cfg.cl_cfg.num_tasks
+
+
+def test_lmdb_deep_tree(tmp_path, rng):
+    """Depth-3+ B-tree (real NLQ text envs with 100k+ queries): the writer
+    builds multi-level branches; the reader walks them."""
+    # ~45k tiny entries -> ~300+ leaf pages -> >1 branch page -> depth 3
+    entries = {f"{i:08d}".encode(): bytes([i % 251]) * (i % 7 + 1)
+               for i in range(45000)}
+    path = str(tmp_path / "deep")
+    write_lmdb(path, entries)
+    with LmdbReader(path) as db:
+        assert db._main["depth"] >= 3, db._main
+        assert len(db) == len(entries)
+        assert db.get(b"00031415") == entries[b"00031415"]
+        assert db.get(b"00044999") == entries[b"00044999"]
+        keys = db.keys()
+        assert len(keys) == len(entries)
+        assert keys == sorted(entries)  # in-order traversal

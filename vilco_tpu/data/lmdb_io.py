@@ -305,23 +305,50 @@ def write_lmdb(path: str, entries: Dict[bytes, bytes],
     for pg, _, blobs in leaf_pages:
         pages[pg] = build_page(pg, P_LEAF, blobs)
 
+    def branch_node(pg: int, key: bytes) -> bytes:
+        return _NODE.pack(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
+                          (pg >> 32) & 0xFFFF, len(key)) + key
+
     n_branch = 0
     if not leaf_pages:
         root, depth = P_INVALID, 0
     elif len(leaf_pages) == 1:
         root, depth = leaf_pages[0][0], 1
     else:
-        branch_nodes = []
-        for i, (pg, first, _) in enumerate(leaf_pages):
-            key = b"" if i == 0 else first    # node 0 keeps no key
-            branch_nodes.append(
-                _NODE.pack(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
-                           (pg >> 32) & 0xFFFF, len(key)) + key)
-        root = next_pg
-        next_pg += 1
-        n_branch = 1
-        pages[root] = build_page(root, P_BRANCH, branch_nodes)
-        depth = 2
+        # build branch levels bottom-up until one page holds everything
+        # (real NLQ text envs with 100k+ queries are depth >= 3)
+        level = [(pg, first) for pg, first, _ in leaf_pages]
+        depth = 1
+        while len(level) > 1:
+            next_level = []
+            group: List[bytes] = []
+            group_first: Optional[bytes] = None
+            group_size = PAGEHDRSZ
+
+            def flush_group():
+                nonlocal group, group_first, group_size, next_pg, n_branch
+                if group:
+                    pg = next_pg
+                    next_pg += 1
+                    n_branch += 1
+                    pages[pg] = build_page(pg, P_BRANCH, group)
+                    next_level.append((pg, group_first))
+                    group, group_first, group_size = [], None, PAGEHDRSZ
+
+            for i, (pg, first) in enumerate(level):
+                key = b"" if not group else first   # node 0 keeps no key
+                nb = branch_node(pg, key)
+                if group and group_size + 2 + len(nb) > psize:
+                    flush_group()
+                    nb = branch_node(pg, b"")
+                if group_first is None:
+                    group_first = first
+                group.append(nb)
+                group_size += 2 + len(nb)
+            flush_group()
+            level = next_level
+            depth += 1
+        root = level[0][0]
 
     # metas: both written, page 0 carries the live txn
     last_pg = max(pages) if pages else 1
