@@ -70,9 +70,19 @@ def _param_spec(path, leaf) -> P:
 
 
 def param_shardings(params, mesh: Mesh):
-    """NamedSharding pytree for the parameter tree."""
+    """NamedSharding pytree for the parameter tree. Specs whose sharded
+    dimension does not divide by the mesh axis fall back to replication
+    (e.g. a class-agnostic head with a single output channel under TP)."""
+
+    def spec_for(path, leaf):
+        spec = _param_spec(path, leaf)
+        for dim, name in enumerate(spec):
+            if name is not None and leaf.shape[dim] % mesh.shape[name]:
+                return P()
+        return spec
+
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)),
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)),
         params,
     )
 
