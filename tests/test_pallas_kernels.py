@@ -115,3 +115,25 @@ def test_fused_attention_padded_unaligned_length():
     out = fused_attention(qp, kp, vp, kv_mask, interpret=True)[:, :L]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mlp_matches_reference(rng):
+    from vilco_tpu.kernels.mlp import _ref_mlp, fused_mlp
+
+    N, C, H = 600, 128, 512   # pads 600 -> 768 inside the kernel
+    x = jnp.asarray(rng.standard_normal((N, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.standard_normal((H,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    out = fused_mlp(x, w1, b1, w2, b2, True)
+    ref = _ref_mlp(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    # leading batch dims + gradient path (XLA-recompute vjp)
+    x3 = x.reshape(2, 300, C)
+    out3 = fused_mlp(x3, w1, b1, w2, b2, True)
+    np.testing.assert_allclose(np.asarray(out3).reshape(N, C),
+                               np.asarray(ref), atol=2e-4)
+    g = jax.grad(lambda xx: fused_mlp(xx, w1, b1, w2, b2, True).sum())(x)
+    gr = jax.grad(lambda xx: _ref_mlp(xx, w1, b1, w2, b2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-3)

@@ -23,7 +23,25 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from vilco_tpu.ops import activations
 from vilco_tpu.ops.activations import gelu
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact names/init, so the fused-MLP
+    path and the unfused path share one parameter tree (fc1/kernel etc. —
+    the layout load_torch_vit_checkpoint imports into)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
 
 
 class ViTBlock(nn.Module):
@@ -84,9 +102,20 @@ class ViTBlock(nn.Module):
         out = nn.Dense(C, name="proj", dtype=x.dtype)(out.reshape(B, L, C))
         x = x + out
         h = nn.LayerNorm(name="norm2", dtype=x.dtype)(x)
-        h = nn.Dense(int(C * self.mlp_ratio), name="fc1", dtype=x.dtype)(h)
-        h = gelu(h)
-        h = nn.Dense(C, name="fc2", dtype=x.dtype)(h)
+        C_h = int(C * self.mlp_ratio)
+        w1, b1 = _DenseParams(C_h, C, name="fc1")()
+        w2, b2 = _DenseParams(C, C_h, name="fc2")()
+        if self.use_fused and not activations._EXACT:
+            # fused fc1->gelu->fc2 keeps the (L, 4C) intermediate in VMEM
+            # (kernels/mlp.py); exact-gelu (parity) mode takes the
+            # reference path below
+            from vilco_tpu.kernels.mlp import fused_mlp
+
+            h = fused_mlp(h, w1, b1, w2, b2)
+        else:
+            h = h @ w1.astype(h.dtype) + b1.astype(h.dtype)
+            h = gelu(h)
+            h = h @ w2.astype(h.dtype) + b2.astype(h.dtype)
         return x + h
 
 
