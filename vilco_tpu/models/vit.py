@@ -59,6 +59,11 @@ class ViTBlock(nn.Module):
     use_fused: bool = False
     valid_len: int = 0
     attn_impl: str = "pallas"
+    # fused fc1->gelu->fc2 Pallas kernel (kernels/mlp.py): measured SLOWER
+    # than XLA's two big matmuls + gelu pass at the VQ flagship shape
+    # (430.7 vs 418.8 ms/step) — XLA's full-N matmul tiling beats the
+    # token-tiled kernel despite the extra HBM round-trip. Kept opt-in.
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -105,10 +110,9 @@ class ViTBlock(nn.Module):
         C_h = int(C * self.mlp_ratio)
         w1, b1 = _DenseParams(C_h, C, name="fc1")()
         w2, b2 = _DenseParams(C, C_h, name="fc2")()
-        if self.use_fused and not activations._EXACT:
-            # fused fc1->gelu->fc2 keeps the (L, 4C) intermediate in VMEM
-            # (kernels/mlp.py); exact-gelu (parity) mode takes the
-            # reference path below
+        if self.use_fused_mlp and not activations._EXACT:
+            # keeps the (L, 4C) intermediate in VMEM; see the field note —
+            # measured slower than XLA at the flagship shape, opt-in
             from vilco_tpu.kernels.mlp import fused_mlp
 
             h = fused_mlp(h, w1, b1, w2, b2)
@@ -126,6 +130,7 @@ class ViT(nn.Module):
     num_heads: int = 12
     use_fused: bool = False     # fused attention kernels (TPU only)
     attn_impl: str = "pallas"   # "pallas" | "flash" (see ViTBlock)
+    use_fused_mlp: bool = False  # opt-in fused MLP kernel (see ViTBlock)
 
     @nn.compact
     def __call__(self, images):
@@ -153,6 +158,7 @@ class ViT(nn.Module):
                          use_fused=self.use_fused,
                          valid_len=L if pad else 0,
                          attn_impl=self.attn_impl,
+                         use_fused_mlp=self.use_fused_mlp,
                          name=f"block_{i}")(x)
         if pad:
             x = x[:, :L]
