@@ -72,3 +72,37 @@ def test_load_params_into_partial(tmp_path):
     assert np.asarray(out["trunk"]["kernel"]).sum() == 16          # loaded
     assert np.allclose(np.asarray(out["head"]["kernel"]), 7.0)     # fresh
     assert np.allclose(np.asarray(out["extra"]["bias"]), 2.0)      # fresh
+
+
+def test_export_nlq_dual_tower(tmp_path):
+    """The export path serves the text-conditioned NLQ dual tower too."""
+    import numpy as np
+
+    from vilco_tpu.bin.export_model import export_forward, load_exported
+    from vilco_tpu.tasks.nlq import nlq_tiny_config
+
+    cfg = nlq_tiny_config()
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.models.point_transformer import PointTransformer
+
+    model = PointTransformer(cfg.model, cfg.cl_cfg)
+    B, T, C = (cfg.loader.batch_size, cfg.dataset.max_seq_len,
+               cfg.dataset.input_dim)
+    L = cfg.dataset.max_text_len
+    feats = jnp.zeros((B, T, C))
+    mask = jnp.ones((B, T), bool)
+    text = jnp.zeros((B, L, cfg.model.n_txt_in))
+    tmask = jnp.ones((B, L), bool)
+    params = model.init(jax.random.PRNGKey(0), feats, mask, text=text,
+                        text_mask=tmask, deterministic=True)["params"]
+    exp = export_forward(cfg, params, platforms=("cpu",))
+    path = tmp_path / "nlq.stablehlo"
+    path.write_bytes(exp.serialize())
+    fn = load_exported(str(path))
+    out = fn(feats, mask, text, tmask)
+    ref = model.apply({"params": params}, feats, mask, text=text,
+                      text_mask=tmask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["cls_logits"]),
+                               np.asarray(ref["cls_logits"]), atol=1e-5)

@@ -42,14 +42,28 @@ def export_forward(cfg, params, platforms=("tpu", "cpu")):
     )
     B, T, C = (cfg.loader.batch_size, cfg.dataset.max_seq_len,
                cfg.dataset.input_dim)
+    args = [jax.ShapeDtypeStruct((B, T, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, T), jnp.bool_)]
+    if cfg.dataset.use_text:
+        # text-conditioned forwards (NLQ dual tower / cross-modal MQ) take
+        # the query tokens as additional inputs
+        L = cfg.dataset.max_text_len
+        args += [jax.ShapeDtypeStruct((B, L, cfg.model.n_txt_in),
+                                      jnp.float32),
+                 jax.ShapeDtypeStruct((B, L), jnp.bool_)]
 
-    def forward(feats, mask):
-        out = model.apply({"params": params}, feats, mask,
-                          deterministic=True)
-        return {"cls_logits": out["cls_logits"], "offsets": out["offsets"]}
+        def forward(feats, mask, text, text_mask):
+            out = model.apply({"params": params}, feats, mask, text=text,
+                              text_mask=text_mask, deterministic=True)
+            return {"cls_logits": out["cls_logits"],
+                    "offsets": out["offsets"]}
+    else:
+        def forward(feats, mask):
+            out = model.apply({"params": params}, feats, mask,
+                              deterministic=True)
+            return {"cls_logits": out["cls_logits"],
+                    "offsets": out["offsets"]}
 
-    args = (jax.ShapeDtypeStruct((B, T, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, T), jnp.bool_))
     return jexport.export(jax.jit(forward), platforms=list(platforms))(*args)
 
 
@@ -97,9 +111,14 @@ def main(argv=None):
         )
         B, T, C = (cfg.loader.batch_size, cfg.dataset.max_seq_len,
                    cfg.dataset.input_dim)
+        kw = {}
+        if cfg.dataset.use_text:
+            L = cfg.dataset.max_text_len
+            kw = {"text": jnp.zeros((B, L, cfg.model.n_txt_in)),
+                  "text_mask": jnp.ones((B, L), bool)}
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((B, T, C)), jnp.ones((B, T), bool),
-            deterministic=True,
+            deterministic=True, **kw,
         )["params"]
 
     exp = export_forward(cfg, params,
