@@ -153,7 +153,8 @@ def bench_vq(args):
         dim=dim, clip_size=S, patch_size=P,
         resolution_transformer=rt, resolution_anchor_feat=ra,
         num_transformer=3, window_transformer=5,
-        num_frames=T, use_fused=fused, vit_attn_impl=vit_impl, **vit)
+        num_frames=T, use_fused=fused, vit_attn_impl=vit_impl,
+        use_fused_mlp=fused and args.fused_mlp, **vit)
     # fused Pallas attention on the accelerator; the CPU init twin stays
     # unfused (identical param tree — the kernels hold no params)
     model = mk(jax.default_backend() != "cpu" and not args.no_fused)
@@ -290,6 +291,9 @@ def parse_args(argv=None):
     p.add_argument("--mu-bf16", action="store_true",
                    help="Adam first moment in bfloat16 (the default since "
                         "round 2; flag kept for script compat)")
+    p.add_argument("--fused-mlp", action="store_true",
+                   help="opt-in fused ViT MLP kernel for --model vq "
+                        "(measured 430.7 vs 418.8 ms/step — see RESULTS)")
     p.add_argument("--mu-f32", action="store_true",
                    help="Adam first moment in float32 (the pre-round-2 "
                         "default; exact reference state precision)")

@@ -139,7 +139,7 @@ def test_nlq_episode_from_lmdb(tmp_path):
     assert len(results["final"]["per_task"]) == cfg.cl_cfg.num_tasks
 
 
-def test_lmdb_deep_tree(tmp_path, rng):
+def test_lmdb_deep_tree(tmp_path):
     """Depth-3+ B-tree (real NLQ text envs with 100k+ queries): the writer
     builds multi-level branches; the reader walks them."""
     # ~45k tiny entries -> ~300+ leaf pages -> >1 branch page -> depth 3

@@ -279,74 +279,62 @@ def write_lmdb(path: str, entries: Dict[bytes, bytes],
         return (_NODE.pack(dsize & 0xFFFF, dsize >> 16, F_BIGDATA, len(key))
                 + key + struct.pack("<Q", ovf_pg))
 
-    # pack leaf pages
-    leaf_pages: List[Tuple[int, bytes, List[bytes]]] = []  # (pg, 1st key, n)
-    cur: List[bytes] = []
-    cur_first: Optional[bytes] = None
-    cur_size = PAGEHDRSZ
+    def pack_level(node_stream, flags):
+        """Greedy-pack (first_key, node_bytes) pairs into pages; returns
+        [(pgno, first_key)] of the packed pages. Shared by the leaf level
+        and every branch level."""
+        nonlocal next_pg
+        packed: List[Tuple[int, bytes]] = []
+        cur: List[bytes] = []
+        cur_first: Optional[bytes] = None
+        cur_size = PAGEHDRSZ
 
-    def flush_leaf():
-        nonlocal cur, cur_first, cur_size, next_pg
-        if cur:
-            leaf_pages.append((next_pg, cur_first, cur))
-            next_pg += 1
-            cur, cur_first, cur_size = [], None, PAGEHDRSZ
+        def flush():
+            nonlocal cur, cur_first, cur_size, next_pg
+            if cur:
+                pg = next_pg
+                next_pg += 1
+                pages[pg] = build_page(pg, flags, cur)
+                packed.append((pg, cur_first))
+                cur, cur_first, cur_size = [], None, PAGEHDRSZ
 
-    for key, val, ovf_pg, dsize in nodes:
-        nb = leaf_node(key, val, ovf_pg, dsize)
-        if cur and cur_size + 2 + len(nb) > psize:
-            flush_leaf()
-        if cur_first is None:
-            cur_first = key
-        cur.append(nb)
-        cur_size += 2 + len(nb)
-    flush_leaf()
-
-    for pg, _, blobs in leaf_pages:
-        pages[pg] = build_page(pg, P_LEAF, blobs)
+        for first, nb in node_stream:
+            if cur and cur_size + 2 + len(nb) > psize:
+                flush()
+            if cur_first is None:
+                cur_first = first
+            cur.append(nb)
+            cur_size += 2 + len(nb)
+        flush()
+        return packed
 
     def branch_node(pg: int, key: bytes) -> bytes:
         return _NODE.pack(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
                           (pg >> 32) & 0xFFFF, len(key)) + key
 
+    leaf_pages = pack_level(
+        ((key, leaf_node(key, val, ovf_pg, dsize))
+         for key, val, ovf_pg, dsize in nodes), P_LEAF)
+
     n_branch = 0
     if not leaf_pages:
         root, depth = P_INVALID, 0
-    elif len(leaf_pages) == 1:
-        root, depth = leaf_pages[0][0], 1
     else:
         # build branch levels bottom-up until one page holds everything
-        # (real NLQ text envs with 100k+ queries are depth >= 3)
-        level = [(pg, first) for pg, first, _ in leaf_pages]
+        # (real NLQ text envs with 100k+ queries are depth >= 3).
+        # Page-local node 0 carries no key, so the branch node bytes are
+        # position-dependent: emit keyed nodes and let build_page receive
+        # them as-is — pack_level starts each page at node 0, whose key we
+        # strip by re-emitting (the keyed form only wastes the few bytes
+        # of its key, which lmdb's own reader ignores for node 0).
+        level = leaf_pages
         depth = 1
         while len(level) > 1:
-            next_level = []
-            group: List[bytes] = []
-            group_first: Optional[bytes] = None
-            group_size = PAGEHDRSZ
-
-            def flush_group():
-                nonlocal group, group_first, group_size, next_pg, n_branch
-                if group:
-                    pg = next_pg
-                    next_pg += 1
-                    n_branch += 1
-                    pages[pg] = build_page(pg, P_BRANCH, group)
-                    next_level.append((pg, group_first))
-                    group, group_first, group_size = [], None, PAGEHDRSZ
-
-            for i, (pg, first) in enumerate(level):
-                key = b"" if not group else first   # node 0 keeps no key
-                nb = branch_node(pg, key)
-                if group and group_size + 2 + len(nb) > psize:
-                    flush_group()
-                    nb = branch_node(pg, b"")
-                if group_first is None:
-                    group_first = first
-                group.append(nb)
-                group_size += 2 + len(nb)
-            flush_group()
-            level = next_level
+            new_level = pack_level(
+                ((first, branch_node(pg, first)) for pg, first in level),
+                P_BRANCH)
+            n_branch += len(new_level)
+            level = new_level
             depth += 1
         root = level[0][0]
 

@@ -57,8 +57,16 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[...] = o.astype(o_ref.dtype)
 
 
-def _use_kernel(n, c, hdim) -> bool:
-    return n >= _TILE and c % 128 == 0 and hdim % 128 == 0
+def _use_kernel(n, c, hdim, dtype) -> bool:
+    if not (n >= _TILE and c % 128 == 0 and hdim % 128 == 0):
+        return False
+    # both weight blocks stay VMEM-resident: gate on the actual footprint
+    # (f32 ViT-B weights alone are 18.9 MB and would fail Mosaic allocation)
+    itemsize = jnp.dtype(dtype).itemsize
+    weights = 2 * c * hdim * itemsize
+    tiles = 2 * _TILE * c * itemsize * 2          # x/out, double-buffered
+    inter = _TILE * hdim * 4                      # f32 intermediate
+    return weights + tiles + inter <= 14 * 1024 * 1024
 
 
 def _run(x2, w1, b1, w2, b2, interpret):
@@ -104,7 +112,7 @@ def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False):
     lead = x.shape[:-1]
     c = x.shape[-1]
     x2 = x.reshape(-1, c)
-    if not _use_kernel(x2.shape[0], c, w1.shape[1]):
+    if not _use_kernel(x2.shape[0], c, w1.shape[1], x2.dtype):
         return _ref_mlp(x2, w1, b1, w2, b2).reshape(*lead, c)
     return _run(x2, w1, b1, w2, b2, interpret).reshape(*lead, c)
 

@@ -232,11 +232,15 @@ class ClipMatcher(nn.Module):
     # shape. vit_attn_impl: "flash" (jax production kernel) | "pallas"
     use_fused: bool = False
     vit_attn_impl: str = "pallas"
+    # opt-in fused ViT MLP kernel (kernels/mlp.py; measured slower than
+    # XLA at the flagship shape — RESULTS.md)
+    use_fused_mlp: bool = False
 
     def setup(self):
         self.backbone = ViT(self.patch_size, self.vit_dim, self.vit_depth,
                             self.vit_heads, use_fused=self.use_fused,
-                            attn_impl=self.vit_attn_impl)
+                            attn_impl=self.vit_attn_impl,
+                            use_fused_mlp=self.use_fused_mlp)
         self.reduce1 = ConvBlock2D(self.dim, name="reduce1")
         self.reduce2 = ConvBlock2D(self.dim, name="reduce2")
         self.cq_corr = DecoderLayer(self.dim, 4, 4 * self.dim,
