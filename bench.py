@@ -11,7 +11,8 @@ Pallas kernels + single-pass fused AdamW — 128.1 clips/s/chip measured
 on one v5e (124.9 ms/step; batch 8 measures 118.5 at 67.5 ms/step; the
 best measured config adds `--factored --mu-bf16` for 130.3). The
 reference's batch-2 setting: `--batch 2 --scan-steps 1`. `--model nlq`
-benches the dual-tower NLQ flagship (231 clips/s/chip); `--model vq` the
+benches the dual-tower NLQ flagship (232.6 clips/s/chip at the batch-8
+default); `--model vq` the
 frozen-ViT tracker (9.55 samples/s); `--eval` the batched inference+NMS
 path (165 clips/s).
 
@@ -374,6 +375,10 @@ def run_one(args):
         # measured sweet spot: 128 clips/s at batch 16 vs 118.5 at batch 8
         # (batch 32 OOMs the 16 GB v5e)
         cfg = cfg.updated(loader=cfg.loader.updated(batch_size=16))
+    elif args.model == "nlq" and not args.fast:
+        # measured sweet spot: 232.6 clips/s at batch 8 vs 192 at batch 4
+        # and 215.9 at batch 16
+        cfg = cfg.updated(loader=cfg.loader.updated(batch_size=8))
     B = cfg.loader.batch_size
 
     model = PointTransformer(cfg.model, cfg.cl_cfg)
