@@ -295,6 +295,10 @@ def parse_args(argv=None):
     p.add_argument("--fused-mlp", action="store_true",
                    help="opt-in fused ViT MLP kernel for --model vq "
                         "(measured 430.7 vs 418.8 ms/step — see RESULTS)")
+    p.add_argument("--nu-bf16", action="store_true",
+                   help="Adam second moment STORED in bfloat16 (computed "
+                        "in f32; FusedAdamW only — quality-gate on the CL "
+                        "ladder before defaulting, see RESULTS)")
     p.add_argument("--mu-f32", action="store_true",
                    help="Adam first moment in float32 (the pre-round-2 "
                         "default; exact reference state precision)")
@@ -365,6 +369,8 @@ def run_one(args):
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype="bfloat16"))
     if args.mu_f32:
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype="float32"))
+    if args.nu_bf16:
+        cfg = cfg.updated(opt=cfg.opt.updated(nu_dtype="bfloat16"))
     if args.factored:
         cfg = cfg.updated(opt=cfg.opt.updated(second_moment="factored"))
     if args.flat_opt:

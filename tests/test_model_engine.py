@@ -350,6 +350,51 @@ def test_fused_adamw_matches_optax_chain():
                                        rtol=1e-6, atol=1e-8)
 
 
+def test_fused_adamw_nu_bf16_storage():
+    """nu_dtype=bfloat16 stores the second moment in bf16 (init + every
+    step) while the update math stays in f32: the parameter trajectory must
+    stay close to the f32-state trajectory over several steps, and the
+    non-fused optax path must reject the flag (it has no nu dtype
+    control)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from vilco_tpu.core.config import OptCfg
+    from vilco_tpu.train.optim import FusedAdamW, make_optimizer
+
+    rng = np.random.default_rng(1)
+    params = {
+        "w": {"kernel": jnp.asarray(rng.standard_normal((6, 4), np.float32))},
+        "b": {"bias": jnp.asarray(rng.standard_normal((4,), np.float32))},
+    }
+    tx_bf, _ = make_optimizer(OptCfg(nu_dtype="bfloat16"), params, 10)
+    tx_f32, _ = make_optimizer(OptCfg(), params, 10)
+    assert isinstance(tx_bf, FusedAdamW)
+    s_bf, s_f32 = tx_bf.init(params), tx_f32.init(params)
+    for leaf in jax.tree.leaves(s_bf[0].nu):
+        assert leaf.dtype == jnp.bfloat16
+    p_bf, p_f = params, params
+    for _ in range(6):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape, np.float32)) * 0.1,
+            params,
+        )
+        p_bf, s_bf = tx_bf.fused_apply(g, s_bf, p_bf)
+        p_f, s_f32 = tx_f32.fused_apply(g, s_f32, p_f)
+    for leaf in jax.tree.leaves(s_bf[0].nu):
+        assert leaf.dtype == jnp.bfloat16      # dtype stable across steps
+    for kb, kf in zip(jax.tree.leaves(p_bf), jax.tree.leaves(p_f)):
+        # bf16 nu quantization perturbs the step by ~2^-9 relative
+        np.testing.assert_allclose(np.asarray(kb), np.asarray(kf),
+                                   rtol=0, atol=5e-3)
+    with pytest.raises(ValueError, match="FusedAdamW"):
+        make_optimizer(OptCfg(nu_dtype="bfloat16", fused_apply=False),
+                       params, 10)
+
+
 def test_vit_qkv_contiguous_split_matches_torch_packing():
     """ViTBlock splits the packed qkv Dense output into contiguous thirds;
     this must equal reshape(B, L, 3, H, D) slicing — the torch qkv weight

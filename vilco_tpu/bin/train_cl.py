@@ -60,6 +60,11 @@ def main(argv=None):
                    help="Adam first-moment dtype (default: config; the "
                         "shipped default is bfloat16 — float32 restores "
                         "exact reference AdamW state precision)")
+    p.add_argument("--nu-dtype", choices=["bfloat16", "float32"],
+                   default=None,
+                   help="Adam second-moment STORAGE dtype (default "
+                        "float32; bfloat16 halves nu-state HBM traffic "
+                        "but must be quality-validated — see RESULTS.md)")
     # real-data VQ sources (data/vq_frames.py)
     p.add_argument("--vq-annotations", default=None,
                    help="Ego4D vq_train.json (with --task vq)")
@@ -180,6 +185,8 @@ def main(argv=None):
         cfg = cfg.updated(opt=cfg.opt.updated(second_moment="factored"))
     if args.mu_dtype:
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype=args.mu_dtype))
+    if args.nu_dtype:
+        cfg = cfg.updated(opt=cfg.opt.updated(nu_dtype=args.nu_dtype))
     if args.epochs:
         cfg = cfg.updated(opt=cfg.opt.updated(epochs=args.epochs))
     if args.num_tasks:

@@ -61,6 +61,12 @@ def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
     if (cfg.fused_apply and cfg.type.lower() == "adamw"
             and cfg.second_moment != "factored" and not cfg.flatten):
         return FusedAdamW(cfg, params, sched), sched
+    if getattr(cfg, "nu_dtype", "float32") == "bfloat16":
+        raise ValueError(
+            "nu_dtype=bfloat16 requires the FusedAdamW path "
+            "(adamw + fused_apply, non-factored, non-flatten): optax's "
+            "scale_by_adam has no second-moment dtype control"
+        )
     # `cfg.flatten` ravels the MOMENT update into one flat buffer
     # (optax.flatten, identical math); the masked weight decay stays
     # per-tensor — the mask is defined on the original tree. Measured
@@ -116,6 +122,9 @@ class FusedAdamW:
         self.mask = weight_decay_mask(params)
         self.mu_dtype = (jnp.bfloat16 if cfg.mu_dtype == "bfloat16"
                          else None)
+        self.nu_dtype = (jnp.bfloat16
+                         if getattr(cfg, "nu_dtype", "float32") == "bfloat16"
+                         else None)
         self._chain = optax.chain(
             optax.scale_by_adam(mu_dtype=self.mu_dtype),
             optax.add_decayed_weights(cfg.weight_decay, mask=self.mask),
@@ -123,7 +132,15 @@ class FusedAdamW:
         )
 
     def init(self, params):
-        return self._chain.init(params)
+        state = self._chain.init(params)
+        if self.nu_dtype is not None:
+            adam_s = state[0]._replace(
+                nu=jax.tree_util.tree_map(
+                    lambda v: v.astype(self.nu_dtype), state[0].nu
+                )
+            )
+            state = (adam_s,) + tuple(state[1:])
+        return state
 
     def update(self, grads, state, params=None):
         return self._chain.update(grads, state, params)
@@ -137,7 +154,9 @@ class FusedAdamW:
 
         def upd(p, g, m, v, decay):
             m2 = (1.0 - self.B1) * g + self.B1 * m
-            v2 = (1.0 - self.B2) * (g * g) + self.B2 * v
+            # the EMA accumulates in f32 even when nu is stored bf16
+            # (a no-op cast on the default f32 state)
+            v2 = (1.0 - self.B2) * (g * g) + self.B2 * v.astype(jnp.float32)
             u = (m2 / bc1.astype(m2.dtype)) / (
                 jnp.sqrt(v2 / bc2.astype(v2.dtype)) + self.EPS
             )
@@ -146,6 +165,8 @@ class FusedAdamW:
             p2 = p - lr * u
             if self.mu_dtype is not None:
                 m2 = m2.astype(self.mu_dtype)
+            if self.nu_dtype is not None:
+                v2 = v2.astype(self.nu_dtype)
             return p2, m2, v2
 
         flat_p, treedef = jax.tree_util.tree_flatten(params)
