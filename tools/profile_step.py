@@ -12,8 +12,9 @@ from vilco_tpu.train.engine import CLBatchExtras, TrainState, make_multi_train_s
 from vilco_tpu.train.optim import make_optimizer
 
 cfg = _flagship_cfg()
-cfg = cfg.updated(loader=cfg.loader.updated(batch_size=8))
-B, K = 8, 4
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+cfg = cfg.updated(loader=cfg.loader.updated(batch_size=B))
+K = 4
 model = PointTransformer(cfg.model, cfg.cl_cfg)
 rng = np.random.default_rng(0)
 b = make_batch(rng, B, cfg)
