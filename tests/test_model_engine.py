@@ -369,8 +369,12 @@ def test_fused_adamw_nu_bf16_storage():
         "w": {"kernel": jnp.asarray(rng.standard_normal((6, 4), np.float32))},
         "b": {"bias": jnp.asarray(rng.standard_normal((4,), np.float32))},
     }
-    tx_bf, _ = make_optimizer(OptCfg(nu_dtype="bfloat16"), params, 10)
-    tx_f32, _ = make_optimizer(OptCfg(), params, 10)
+    # warmup off + a real lr so the params actually move: with the config
+    # defaults the schedule is ~0 for the first steps and any closeness
+    # assertion would be vacuous
+    mk = lambda **kw: OptCfg(warmup=False, learning_rate=1e-2, **kw)
+    tx_bf, _ = make_optimizer(mk(nu_dtype="bfloat16"), params, 10)
+    tx_f32, _ = make_optimizer(mk(), params, 10)
     assert isinstance(tx_bf, FusedAdamW)
     s_bf, s_f32 = tx_bf.init(params), tx_f32.init(params)
     for leaf in jax.tree.leaves(s_bf[0].nu):
@@ -386,10 +390,25 @@ def test_fused_adamw_nu_bf16_storage():
         p_f, s_f32 = tx_f32.fused_apply(g, s_f32, p_f)
     for leaf in jax.tree.leaves(s_bf[0].nu):
         assert leaf.dtype == jnp.bfloat16      # dtype stable across steps
+    # params moved by ~6 * lr = 6e-2 per coordinate; bf16 nu quantization
+    # (~2^-9 relative on sqrt(nu)) perturbs that by well under 2e-3 — a
+    # bf16-accumulated EMA would drift far past the tolerance
+    moved = max(float(jnp.abs(kb - k0).max()) for kb, k0 in
+                zip(jax.tree.leaves(p_bf), jax.tree.leaves(params)))
+    assert moved > 1e-2, moved
     for kb, kf in zip(jax.tree.leaves(p_bf), jax.tree.leaves(p_f)):
-        # bf16 nu quantization perturbs the step by ~2^-9 relative
         np.testing.assert_allclose(np.asarray(kb), np.asarray(kf),
-                                   rtol=0, atol=5e-3)
+                                   rtol=0, atol=2e-3)
+    # nu tracks the f32 second moment within bf16 quantization error
+    for nb, nf in zip(jax.tree.leaves(s_bf[0].nu),
+                      jax.tree.leaves(s_f32[0].nu)):
+        np.testing.assert_allclose(np.asarray(nb, np.float32),
+                                   np.asarray(nf), rtol=2e-2, atol=1e-9)
+    # the optax-interface path must preserve the storage dtype too
+    g = jax.tree.map(jnp.ones_like, params)
+    _, s_upd = tx_bf.update(g, s_bf, p_bf)
+    for leaf in jax.tree.leaves(s_upd[0].nu):
+        assert leaf.dtype == jnp.bfloat16
     with pytest.raises(ValueError, match="FusedAdamW"):
         make_optimizer(OptCfg(nu_dtype="bfloat16", fused_apply=False),
                        params, 10)

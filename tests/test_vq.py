@@ -105,13 +105,9 @@ def test_peak_finding_recovers_span():
 
 
 def test_clip_matcher_forward_and_hnm():
-    from vilco_tpu.models.clip_matcher import ClipMatcher
+    from vilco_tpu.models.clip_matcher import tiny_clip_matcher
 
-    model = ClipMatcher(
-        dim=32, clip_size=16, patch_size=8, vit_dim=24, vit_depth=1,
-        vit_heads=2, resolution_transformer=2, resolution_anchor_feat=2,
-        num_transformer=1, window_transformer=3, num_frames=3,
-    )
+    model = tiny_clip_matcher()
     B, T, S = 2, 3, 16
     clip = jnp.zeros((B, T, S, S, 3))
     query = jnp.zeros((B, S, S, 3))

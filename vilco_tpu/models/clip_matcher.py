@@ -354,3 +354,15 @@ class ClipMatcher(nn.Module):
             "prob": prob,
             "anchors_xyxy": jnp.asarray(self.anchors_xyxy),
         }
+
+
+def tiny_clip_matcher(**overrides) -> ClipMatcher:
+    """The smallest valid ClipMatcher shape, shared by the unit tests and
+    the multi-chip dryrun so both exercise the same configuration."""
+    kw = dict(
+        dim=32, clip_size=16, patch_size=8, vit_dim=24, vit_depth=1,
+        vit_heads=2, resolution_transformer=2, resolution_anchor_feat=2,
+        num_transformer=1, window_transformer=3, num_frames=3,
+    )
+    kw.update(overrides)
+    return ClipMatcher(**kw)

@@ -61,7 +61,7 @@ def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
     if (cfg.fused_apply and cfg.type.lower() == "adamw"
             and cfg.second_moment != "factored" and not cfg.flatten):
         return FusedAdamW(cfg, params, sched), sched
-    if getattr(cfg, "nu_dtype", "float32") == "bfloat16":
+    if cfg.nu_dtype == "bfloat16":
         raise ValueError(
             "nu_dtype=bfloat16 requires the FusedAdamW path "
             "(adamw + fused_apply, non-factored, non-flatten): optax's "
@@ -122,8 +122,7 @@ class FusedAdamW:
         self.mask = weight_decay_mask(params)
         self.mu_dtype = (jnp.bfloat16 if cfg.mu_dtype == "bfloat16"
                          else None)
-        self.nu_dtype = (jnp.bfloat16
-                         if getattr(cfg, "nu_dtype", "float32") == "bfloat16"
+        self.nu_dtype = (jnp.bfloat16 if cfg.nu_dtype == "bfloat16"
                          else None)
         self._chain = optax.chain(
             optax.scale_by_adam(mu_dtype=self.mu_dtype),
@@ -143,7 +142,18 @@ class FusedAdamW:
         return state
 
     def update(self, grads, state, params=None):
-        return self._chain.update(grads, state, params)
+        updates, new_state = self._chain.update(grads, state, params)
+        if self.nu_dtype is not None:
+            # scale_by_adam has no nu dtype control: its EMA promotes the
+            # bf16 state against f32 grads and returns f32 nu — cast back
+            # so the state pytree keeps the dtype tx.init established
+            adam_s = new_state[0]._replace(
+                nu=jax.tree_util.tree_map(
+                    lambda v: v.astype(self.nu_dtype), new_state[0].nu
+                )
+            )
+            new_state = (adam_s,) + tuple(new_state[1:])
+        return updates, new_state
 
     def fused_apply(self, grads, state, params):
         adam_s, masked_s, sched_s = state
