@@ -37,11 +37,18 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from vilco_tpu.core.checkpoint import load_checkpoint
-    from vilco_tpu.core.config import load_config
+    from vilco_tpu.core.config import Config, load_config
     from vilco_tpu.data.synthetic import make_synthetic_cl_split, tiny_config
 
+    saved_cfg = os.path.join(args.workdir, "config.json")
     if args.config:
         cfg = load_config(args.config)
+    elif os.path.exists(saved_cfg):
+        # the episode runner persists its resolved config — restoring it
+        # reproduces the training model/stream exactly (incl. any CLI
+        # overrides), where the reference eval.py re-parses the yaml
+        with open(saved_cfg) as f:
+            cfg = Config.from_dict(json.load(f)).derived()
     elif (args.task or "mq") == "nlq":
         from vilco_tpu.tasks.nlq import nlq_tiny_config
 

@@ -20,6 +20,7 @@ jitted on device; metrics are the exact numpy ports in vilco_tpu/evals.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -92,6 +93,12 @@ class EpisodeRunner:
         # the gradient psum — the DDP the reference comments out)
         self.mesh = None
         os.makedirs(workdir, exist_ok=True)
+        if jax.process_index() == 0:
+            # persist the resolved config so bin/evaluate.py can rebuild
+            # the exact model/stream without the original CLI invocation
+            # (the reference requires re-passing the yaml to eval.py)
+            with open(os.path.join(workdir, "config.json"), "w") as f:
+                json.dump(cfg.to_dict(), f, indent=2)
 
         self.model = PointTransformer(cfg.model, cfg.cl_cfg)
         self.points = jnp.asarray(
