@@ -293,8 +293,13 @@ def main(argv=None):
 
             stream = merge_vq_tasks(stream)
         syn_frame = args.vq_frame_size or (vqc.clip_size if vqc else 32)
+        syn_window = args.vq_window or (vqc.num_frames if vqc else 4)
         runner = VQEpisodeRunner(
+            # window/frame_size keep the model geometry in sync with the
+            # source when the size flags are used without a config
+            # (model_cfg in vq_kw overrides both when a config is given)
             stream, SyntheticVQSource(frame_size=syn_frame), args.workdir,
+            window=syn_window, frame_size=syn_frame,
             method=args.method or "naive",
             epochs=args.epochs or 4,
             memory_size=8 if args.method in ("icarl", "rehearsal") else 0,

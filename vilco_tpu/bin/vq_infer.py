@@ -59,6 +59,28 @@ def main(argv=None):
         make_synthetic_vq_split,
     )
 
+    # the training runner persisted its model-defining settings — restore
+    # them so the rebuilt ClipMatcher matches the checkpoint's shapes
+    # (e.g. a flagship configs/vq_vilco.yaml run) without re-passing flags
+    vq_kw = {}
+    manifest_path = os.path.join(args.workdir, "vq_config.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            man = json.load(f)
+        if man.get("model_cfg"):
+            from vilco_tpu.core.config import VQCfg
+
+            vq_kw["model_cfg"] = VQCfg.from_dict(man["model_cfg"])
+        vq_kw["window"] = man["window"]
+        vq_kw["frame_size"] = man["frame_size"]
+        if (args.window != man["window"]
+                or args.frame_size != man["frame_size"]):
+            logging.info(
+                "vq_config.json overrides CLI shape: window=%d "
+                "frame_size=%d", man["window"], man["frame_size"])
+        args.window = man["window"]
+        args.frame_size = man["frame_size"]
+
     if args.annotations:
         from vilco_tpu.data.vq_frames import (
             FrameDirSource,
@@ -90,13 +112,15 @@ def main(argv=None):
             p.error("--annotations needs --clip-dir or --images-dir")
         runner = VQEpisodeRunner(stream, src, args.workdir,
                                  window=args.window,
-                                 frame_size=args.frame_size)
+                                 frame_size=args.frame_size,
+                                 **{k: v for k, v in vq_kw.items()
+                                    if k == "model_cfg"})
     else:
         rng = np.random.default_rng(0)
         train, val = make_synthetic_vq_split(rng, num_tasks=args.num_tasks)
         stream = VQTaskStream(train, val)
-        src = SyntheticVQSource()
-        runner = VQEpisodeRunner(stream, src, args.workdir)
+        src = SyntheticVQSource(frame_size=vq_kw.get("frame_size", 32))
+        runner = VQEpisodeRunner(stream, src, args.workdir, **vq_kw)
 
     ckpts = sorted(glob.glob(os.path.join(args.workdir, "vq_task_*.ckpt")))
     if ckpts:

@@ -16,6 +16,7 @@ keyed to the query, so tracking is learnable in tests.
 from __future__ import annotations
 
 import hashlib
+import json
 import logging
 import os
 import time
@@ -246,6 +247,17 @@ class VQEpisodeRunner:
                 num_transformer=1, window_transformer=5,
                 num_frames=window, use_fused=use_fused,
             )
+        if jax.process_index() == 0:
+            # persist the model-defining settings so bin/vq_infer.py can
+            # rebuild the exact ClipMatcher shape from the workdir alone
+            # (the reference re-reads its global yaml config at inference)
+            with open(os.path.join(workdir, "vq_config.json"), "w") as f:
+                json.dump({
+                    "window": self.window,
+                    "frame_size": self.frame_size,
+                    "model_cfg": (model_cfg.to_dict()
+                                  if model_cfg is not None else None),
+                }, f, indent=2)
         rng = jax.random.PRNGKey(seed)
         # T=1 init clip: param shapes are T-independent (pe_3d is built from
         # num_frames, not the input) and ViT-B init at the full window costs
