@@ -51,6 +51,11 @@ def main(argv=None):
                         "fresh init)")
     p.add_argument("--workers", type=int, default=None,
                    help="loader worker threads (prefetching batch build)")
+    p.add_argument("--accum-steps", type=int, default=0,
+                   help="gradient accumulation: micro-batches per optimizer "
+                        "step (reference config.train.accumulation_step); "
+                        "effective batch = batch_size * K at batch_size "
+                        "device memory")
     p.add_argument("--factored", action="store_true",
                    help="Adafactor-style factored second moment (halves "
                         "optimizer-state HBM traffic on the bandwidth-"
@@ -181,6 +186,9 @@ def main(argv=None):
             cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(
                 memory_size=2 * cfg.dataset.num_classes
             ))
+    if args.accum_steps:
+        cfg = cfg.updated(
+            opt=cfg.opt.updated(accumulation_steps=args.accum_steps))
     if args.factored:
         cfg = cfg.updated(opt=cfg.opt.updated(second_moment="factored"))
     if args.mu_dtype:
@@ -225,9 +233,12 @@ def main(argv=None):
                 positive_threshold=vqc.positive_threshold,
                 positive_topk=vqc.positive_topk,
                 vit_ckpt=args.vit_ckpt or vqc.vit_ckpt,
+                accumulation_steps=vqc.accumulation_steps,
             )
         elif args.vit_ckpt:
             vq_kw["vit_ckpt"] = args.vit_ckpt
+        if args.accum_steps:
+            vq_kw["accumulation_steps"] = args.accum_steps
 
         if args.vq_annotations:
             from vilco_tpu.data.vq_frames import (

@@ -291,8 +291,11 @@ class EpisodeRunner:
                 j, self.memory if use_memory else None
             )
         data = self._make_dataset(videos, is_training=True)
+        # with gradient accumulation, the loader yields K micro-batches
+        # worth of clips per optimizer step (the step splits internally)
+        accum = max(cfg.opt.accumulation_steps, 1)
         loader = BatchIterator(
-            data, cfg, cfg.loader.batch_size, is_training=True,
+            data, cfg, cfg.loader.batch_size * accum, is_training=True,
             seed=cfg.init_rand_seed,
             shard_id=self.shard[0], num_shards=self.shard[1],
             num_workers=cfg.loader.num_workers,
@@ -314,6 +317,7 @@ class EpisodeRunner:
             use_reg_penalty=use_reg,
             use_prompt=use_prompt,
             n_known=n_known,
+            accumulation_steps=accum,
         )
         adapter_ema = (
             init_adapter_ema(self.params) if cfg.cl_cfg.use_adapt else None
@@ -429,7 +433,8 @@ class EpisodeRunner:
         return {
             "steps": n_steps,
             "wall_s": wall,
-            "clips_per_s": n_steps * cfg.loader.batch_size / max(wall, 1e-9),
+            "clips_per_s": (n_steps * cfg.loader.batch_size * accum
+                            / max(wall, 1e-9)),
             "last_metrics": last_metrics,
             "loader": loader,
         }

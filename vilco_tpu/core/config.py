@@ -313,6 +313,12 @@ class OptCfg(_Base):
     # chain, less HBM traffic. Ignored for sgd/factored/flatten.
     fused_apply: bool = True
     ema_decay: float = 0.0          # model EMA (train_utils.py ModelEma); 0 = off
+    # gradient accumulation (reference `config.train.accumulation_step`,
+    # VQ/config/config.py:75 + train_anchor.py:88-106): each optimizer
+    # step consumes accumulation_steps micro-batches of loader.batch_size
+    # via an in-step lax.scan — effective batch K*B at the device memory
+    # of batch B (e.g. effective MQ batch 32 past the 16GB OOM at 32)
+    accumulation_steps: int = 1
 
 
 @dataclass(frozen=True)
@@ -353,6 +359,7 @@ class VQCfg(_Base):
     batch_size: int = 4                 # train.batch_size
     lr: float = 3e-4                    # train.lr
     weight_decay: float = 5e-3          # train.weight_decay
+    accumulation_steps: int = 1         # train.accumulation_step
     use_hnm: bool = True                # hard-negative mining across batch
     augment: bool = True                # train.aug_clip
     positive_threshold: float = 0.2     # model.positive_threshold

@@ -199,7 +199,8 @@ class VQEpisodeRunner:
                  eval_windows: int = 8, use_fused: bool = False,
                  model_cfg=None, vit_ckpt: str = "",
                  weight_decay: float = 1e-4,
-                 positive_threshold: float = 0.2, positive_topk: int = 5):
+                 positive_threshold: float = 0.2, positive_topk: int = 5,
+                 accumulation_steps: int = 1):
         self.stream = stream
         self.source = source
         self.workdir = workdir
@@ -273,11 +274,13 @@ class VQEpisodeRunner:
             self.params["backbone"] = load_torch_vit_checkpoint(
                 self.params["backbone"], vit_ckpt)
         self.tx = optax.adamw(lr, weight_decay=weight_decay)
+        self.accumulation_steps = max(accumulation_steps, 1)
         self.train_step = make_vq_train_step(
             self.model, self.tx, use_hnm=use_hnm,
             positive_threshold=positive_threshold,
             positive_topk=positive_topk,
             reg_lambda=reg_lambda,
+            accumulation_steps=self.accumulation_steps,
         )
         self.eval_step = make_vq_eval_step(self.model)
         self.memory = RehearsalMemory(seed=seed)
@@ -328,9 +331,11 @@ class VQEpisodeRunner:
             "before_query": before,
         }
 
-    def _train_batches(self, videos, rng):
+    def _train_batches(self, videos, rng, batch_size=None):
         idx = rng.permutation(len(videos))
-        B = self.batch_size
+        # one yielded batch = one optimizer step = accumulation_steps
+        # micro-batches of batch_size (train_anchor.py:88-106 semantics)
+        B = batch_size or self.batch_size * self.accumulation_steps
         for b in range(max(len(idx) // B, 1)):
             sel = [videos[i] for i in
                    np.resize(idx, max(len(idx), B))[b * B:(b + 1) * B]]
@@ -403,7 +408,9 @@ class VQEpisodeRunner:
 
         grad_fn = jax.jit(grad_fn)
         acc = None
-        for batch in self._train_batches(videos, rng):
+        # micro batch_size: importance estimation must not pay the
+        # accumulated K*B device footprint
+        for batch in self._train_batches(videos, rng, self.batch_size):
             g = grad_fn(self.params, batch)
             acc = g if acc is None else jax.tree.map(jnp.add, acc, g)
         if acc is None:

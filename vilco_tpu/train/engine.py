@@ -243,53 +243,122 @@ def make_train_step(
     use_prompt: bool = False,
     n_known: int = 0,
     ema_decay: float = 0.999,
+    accumulation_steps: int = 1,
 ) -> Callable:
-    """Build the jitted train step for the current CL configuration."""
+    """Build the jitted train step for the current CL configuration.
+
+    `accumulation_steps=K` splits the incoming batch into K micro-batches
+    and accumulates their gradients inside ONE jitted dispatch (a
+    `lax.scan`, so XLA keeps only one micro-batch's activations live) and
+    applies a single optimizer update on the mean gradient — the
+    reference's `accumulation_step` semantics (VQ/func/train_anchor.py:
+    88-106: per-loader-batch backward, optimizer step every K batches),
+    here as a TPU-friendly in-step scan. The micro-batch plays the
+    reference's loader-batch role: the loss normalizer EMA and the SSL
+    memory-bank ring advance once per micro-batch, exactly as they would
+    across K sequential reference batches.
+    """
+
+    def loss_fn(params, mb, mcl, drng, norm_in):
+        outputs = model.apply(
+            {"params": params},
+            mb["feats"], mb["mask"],
+            text=mb.get("text"), text_mask=mb.get("text_mask"),
+            narration=mb.get("narration") if use_ssl else None,
+            narration_mask=mb.get("narration_mask") if use_ssl else None,
+            narration_valid=mb.get("narration_valid") if use_ssl else None,
+            prompt_mask=mb.get("prompt_mask") if use_prompt else None,
+            deterministic=False,
+            rngs={"dropout": drng},
+        )
+        if mcl.bias_alpha is not None:
+            # BiC bias layers on past-task logit slices
+            # (meta_archs.py:823-836)
+            outputs = dict(outputs)
+            outputs["cls_logits"] = (
+                outputs["cls_logits"] * mcl.bias_alpha[None, None, :]
+                + mcl.bias_beta[None, None, :]
+            )
+        loss, metrics, new_norm = compute_losses(
+            outputs, mb, points, cfg, mcl, norm_in, cl_method, n_known,
+        )
+        if use_reg_penalty and mcl.fisher is not None:
+            pen = reg_penalty(
+                params, mcl.fisher, mcl.optpar, cfg.cl_cfg.reg_lambda
+            )
+            loss = loss + pen
+            metrics["reg_penalty"] = pen
+        aux = {
+            "metrics": metrics,
+            "new_norm": new_norm,
+            "narration_feat": outputs.get("narration_feat"),
+            "narration_valid": outputs.get("narration_valid"),
+        }
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(state: TrainState, batch: dict, cl: CLBatchExtras):
         rng, drng = jax.random.split(state.rng)
 
-        def loss_fn(params):
-            outputs = model.apply(
-                {"params": params},
-                batch["feats"], batch["mask"],
-                text=batch.get("text"), text_mask=batch.get("text_mask"),
-                narration=batch.get("narration") if use_ssl else None,
-                narration_mask=batch.get("narration_mask") if use_ssl else None,
-                narration_valid=batch.get("narration_valid") if use_ssl else None,
-                prompt_mask=batch.get("prompt_mask") if use_prompt else None,
-                deterministic=False,
-                rngs={"dropout": drng},
-            )
-            if cl.bias_alpha is not None:
-                # BiC bias layers on past-task logit slices
-                # (meta_archs.py:823-836)
-                outputs = dict(outputs)
-                outputs["cls_logits"] = (
-                    outputs["cls_logits"] * cl.bias_alpha[None, None, :]
-                    + cl.bias_beta[None, None, :]
+        if accumulation_steps > 1:
+            K = accumulation_steps
+            b = batch["feats"].shape[0]
+            if b % K:
+                raise ValueError(
+                    f"batch size {b} not divisible by "
+                    f"accumulation_steps {K}"
                 )
-            loss, metrics, new_norm = compute_losses(
-                outputs, batch, points, cfg, cl, state.loss_normalizer,
-                cl_method, n_known,
+            micro = jax.tree.map(
+                lambda x: x.reshape((K, b // K) + x.shape[1:]), batch
             )
-            if use_reg_penalty and cl.fisher is not None:
-                pen = reg_penalty(
-                    params, cl.fisher, cl.optpar, cfg.cl_cfg.reg_lambda
+            mprev = None
+            if cl.prev_logits is not None:
+                mprev = cl.prev_logits.reshape(
+                    (K, b // K) + cl.prev_logits.shape[1:]
                 )
-                loss = loss + pen
-                metrics["reg_penalty"] = pen
-            aux = {
-                "metrics": metrics,
-                "new_norm": new_norm,
-                "narration_feat": outputs.get("narration_feat"),
-                "narration_valid": outputs.get("narration_valid"),
-            }
-            return loss, aux
+            drngs = jax.random.split(drng, K)
+            gzero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, p.dtype), state.params
+            )
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+            def body(carry, xs):
+                gacc, norm, bank, ptr = carry
+                mb, pk, dk = xs
+                mcl = cl.replace(
+                    prev_logits=pk, memory_bank=bank, memory_ptr=ptr
+                )
+                (_, aux_k), g = grad_fn(state.params, mb, mcl, dk, norm)
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                if use_ssl and bank is not None:
+                    bank, ptr = _ring_update(
+                        bank, ptr,
+                        aux_k["narration_feat"], aux_k["narration_valid"],
+                    )
+                return ((gacc, aux_k["new_norm"], bank, ptr),
+                        aux_k["metrics"])
+
+            (grads, new_norm, new_bank, new_ptr), mseq = jax.lax.scan(
+                body,
+                (gzero, state.loss_normalizer,
+                 cl.memory_bank, cl.memory_ptr),
+                (micro, mprev, drngs),
+            )
+            grads = jax.tree.map(lambda g: g / K, grads)
+            aux = {
+                "metrics": jax.tree.map(lambda m: m.mean(0), mseq),
+                "new_norm": new_norm,
+            }
+        else:
+            (_, aux), grads = grad_fn(
+                state.params, batch, cl, drng, state.loss_normalizer
+            )
+            new_bank, new_ptr = cl.memory_bank, cl.memory_ptr
+            if use_ssl and cl.memory_bank is not None:
+                new_bank, new_ptr = _ring_update(
+                    cl.memory_bank, cl.memory_ptr,
+                    aux["narration_feat"], aux["narration_valid"],
+                )
         if cfg.train_cfg.clip_grad_l2norm > 0:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(
@@ -324,15 +393,6 @@ def make_train_step(
             new_ema = jax.tree.map(
                 lambda e, p: d * e + (1.0 - d) * p, state.ema_params,
                 new_params,
-            )
-
-        # SSL memory bank ring update
-        new_bank, new_ptr = cl.memory_bank, cl.memory_ptr
-        if use_ssl and cl.memory_bank is not None:
-            new_bank, new_ptr = _ring_update(
-                cl.memory_bank, cl.memory_ptr,
-                aux["narration_feat"],
-                aux["narration_valid"],
             )
 
         new_state = state.replace(

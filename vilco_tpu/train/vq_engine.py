@@ -166,37 +166,74 @@ def make_vq_train_step(
     positive_threshold: float = 0.2,
     positive_topk: int = 5,
     reg_lambda: float = 0.0,
+    accumulation_steps: int = 1,
 ) -> Callable:
-    """Jitted VQ train step with optional HNM and EWC/MAS penalty."""
+    """Jitted VQ train step with optional HNM and EWC/MAS penalty.
+
+    `accumulation_steps=K` reproduces the reference's
+    `config.train.accumulation_step` (VQ/config/config.py:75, used at
+    VQ/func/train_anchor.py:88-106): the batch is split into K
+    micro-batches whose gradients accumulate across a `lax.scan` (one
+    micro-batch of activations live at a time) before a single optimizer
+    update on the mean gradient. The micro-batch is the reference's
+    loader batch, so the HNM negative pool is built per micro-batch,
+    exactly as the reference mines within each loader batch.
+    """
+
+    def loss_fn(params, mb, drng, reg):
+        preds = model.apply(
+            {"params": params}, mb["clip"], mb["query"],
+            from_features=from_features, hnm=use_hnm,
+            deterministic=False, rngs={"dropout": drng},
+        )
+        gts = {k: mb[k] for k in
+               ("clip_bbox", "clip_with_bbox", "before_query")}
+        if use_hnm:
+            gts = replicate_for_hnm(gts, mb["clip"].shape[0])
+        loss, metrics, _ = vq_losses(
+            preds, gts, positive_threshold=positive_threshold,
+            positive_topk=positive_topk,
+        )
+        if reg is not None:
+            from vilco_tpu.train.engine import reg_penalty
+
+            pen = reg_penalty(params, reg[0], reg[1], reg_lambda)
+            loss = loss + pen
+            metrics["reg_penalty"] = pen
+        return loss, metrics
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(state: VQTrainState, batch: dict, reg=None):
         rng, drng = jax.random.split(state.rng)
 
-        def loss_fn(params):
-            preds = model.apply(
-                {"params": params}, batch["clip"], batch["query"],
-                from_features=from_features, hnm=use_hnm,
-                deterministic=False, rngs={"dropout": drng},
+        if accumulation_steps > 1:
+            K = accumulation_steps
+            b = batch["clip"].shape[0]
+            if b % K:
+                raise ValueError(
+                    f"batch size {b} not divisible by "
+                    f"accumulation_steps {K}"
+                )
+            micro = jax.tree.map(
+                lambda x: x.reshape((K, b // K) + x.shape[1:]), batch
             )
-            gts = {k: batch[k] for k in
-                   ("clip_bbox", "clip_with_bbox", "before_query")}
-            if use_hnm:
-                gts = replicate_for_hnm(gts, batch["clip"].shape[0])
-            loss, metrics, _ = vq_losses(
-                preds, gts, positive_threshold=positive_threshold,
-                positive_topk=positive_topk,
+            gzero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, p.dtype), state.params
             )
-            if reg is not None:
-                from vilco_tpu.train.engine import reg_penalty
 
-                pen = reg_penalty(params, reg[0], reg[1], reg_lambda)
-                loss = loss + pen
-                metrics["reg_penalty"] = pen
-            return loss, metrics
+            def body(gacc, xs):
+                mb, dk = xs
+                (_, metrics_k), g = grad_fn(state.params, mb, dk, reg)
+                return jax.tree.map(jnp.add, gacc, g), metrics_k
 
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            grads, mseq = jax.lax.scan(
+                body, gzero, (micro, jax.random.split(drng, K))
+            )
+            grads = jax.tree.map(lambda g: g / K, grads)
+            metrics = jax.tree.map(lambda m: m.mean(0), mseq)
+        else:
+            (_, metrics), grads = grad_fn(state.params, batch, drng, reg)
         if hasattr(tx, "fused_apply"):
             # single-pass AdamW (optim.py::FusedAdamW)
             params, opt_state = tx.fused_apply(
