@@ -236,7 +236,10 @@ def bench_vq(args):
             },
         }
 
-    step = make_vq_train_step(model, tx)
+    A = max(args.accum_steps, 1)
+    step = make_vq_train_step(model, tx, accumulation_steps=A)
+    # one step consumes A micro-batches of B samples each
+    B = B * A
     batches = [jax.device_put(fresh_batch(), accel) for _ in range(2)]
 
     for i in range(max(args.warmup, 1)):   # >=1: bind metrics + compile
@@ -257,7 +260,7 @@ def bench_vq(args):
         ),
         "detail": {
             "batch": B, "frames": T, "size": S,
-            "steps": args.steps,
+            "steps": args.steps, "accum_steps": A,
             "step_ms": round(dt / args.steps * 1e3, 2),
             "params_m": round(n_params / 1e6, 1),
             "devices": jax.device_count(),
@@ -309,6 +312,11 @@ def parse_args(argv=None):
                    help="Adafactor-style factored second moment (halves "
                         "optimizer-state HBM traffic; non-reference "
                         "semantics, opt-in)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation micro-batches per optimizer "
+                        "step (in-step lax.scan): effective batch = "
+                        "batch * accum at batch device memory — e.g. "
+                        "effective MQ batch 32 past the 16GB OOM at 32")
     p.add_argument("--scan-steps", type=int, default=4,
                    help="train steps fused per dispatch via lax.scan; "
                         "1 = plain per-step dispatch")
@@ -428,10 +436,13 @@ def run_one(args):
         return bench_eval(args, cfg, model, params, points,
                           n_params, accel, rng)  # returns the record
     K = max(args.scan_steps, 1)
+    A = max(args.accum_steps, 1)
     if K > 1:
-        step = make_multi_train_step(model, tx, points, cfg, K)
+        step = make_multi_train_step(model, tx, points, cfg, K,
+                                     accumulation_steps=A)
     else:
-        step = make_train_step(model, tx, points, cfg)
+        step = make_train_step(model, tx, points, cfg,
+                               accumulation_steps=A)
     with jax.default_device(cpu):
         opt_state = tx.init(jax.device_put(params, cpu))
     opt_state = jax.device_put(opt_state, accel)
@@ -450,8 +461,9 @@ def run_one(args):
     cl = jax.device_put(cl, accel)
 
     # pre-build distinct batches so the loop isn't one cached input
+    # (with accumulation, one step consumes A micro-batches of B clips)
     def fresh_batch():
-        b = make_batch(rng, B, cfg)
+        b = make_batch(rng, B * A, cfg)
         return {k: jnp.asarray(v) for k, v in b.items()}
 
     if K > 1:
@@ -478,7 +490,7 @@ def run_one(args):
     loss_val = float(metrics["final_loss"])
     dt = time.perf_counter() - t0
 
-    clips_per_s = args.steps * K * B / dt
+    clips_per_s = args.steps * K * B * A / dt
     n_chips = jax.device_count()
     value = clips_per_s / n_chips
     return {
@@ -490,6 +502,7 @@ def run_one(args):
             "batch": B,
             "steps": args.steps,
             "scan_steps": K,
+            "accum_steps": A,
             "step_ms": round(dt / (args.steps * K) * 1e3, 2),
             "params_m": round(n_params / 1e6, 1),
             "devices": n_chips,
