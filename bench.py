@@ -190,7 +190,11 @@ def bench_vq(args):
         )["params"]
     params = jax.device_put(params, accel)
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    tx = optax.adamw(1e-4, weight_decay=1e-4)
+    from vilco_tpu.train.vq_engine import make_vq_optimizer
+
+    # frozen ViT excluded from the optimizer (reference
+    # VQ/utils/train_utils.py:8-15) — no Adam state for its ~86M params
+    tx = make_vq_optimizer(1e-4, 1e-4, freeze_backbone=True)
     with jax.default_device(cpu):
         opt_state = tx.init(jax.device_put(params, cpu))
     state = VQTrainState(

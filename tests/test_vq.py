@@ -122,6 +122,63 @@ def test_clip_matcher_forward_and_hnm():
     assert out2["prob"].shape == (B * B, T, N)
 
 
+def test_frozen_backbone_excluded_from_optimizer():
+    """The reference filters requires_grad=False backbone params OUT of
+    AdamW (VQ/utils/train_utils.py:8-15): they must receive neither
+    weight decay nor Adam state. Regression for the bug where
+    optax.adamw over the full tree decayed the frozen ViT by lr*wd/step."""
+    from vilco_tpu.models.clip_matcher import tiny_clip_matcher
+    from vilco_tpu.train.vq_engine import (
+        VQTrainState,
+        make_vq_optimizer,
+        make_vq_train_step,
+    )
+
+    model = tiny_clip_matcher()
+    B, T, S = 2, 3, 16
+    rng = np.random.default_rng(0)
+    batch = {
+        "clip": jnp.asarray(rng.standard_normal((B, T, S, S, 3)),
+                            jnp.float32),
+        "query": jnp.asarray(rng.standard_normal((B, S, S, 3)),
+                             jnp.float32),
+        "clip_bbox": jnp.asarray(
+            np.tile(np.array([0.2, 0.2, 0.6, 0.6], np.float32), (B, T, 1))),
+        "clip_with_bbox": jnp.ones((B, T), jnp.float32),
+        "before_query": jnp.ones((B, T), jnp.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["clip"],
+                        batch["query"], deterministic=True)["params"]
+    # large wd so a spurious decay of the frozen weights is unmissable
+    tx = make_vq_optimizer(0.1, 0.5, freeze_backbone=True)
+    state = VQTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params), rng=jax.random.PRNGKey(3),
+    )
+    # no Adam m/v arrays for the frozen subtree: state leaf count covers
+    # only the trainable params
+    n_train = sum(x.size for k, v in params.items() if k != "backbone"
+                  for x in jax.tree.leaves(v))
+    n_state = sum(x.size for x in jax.tree.leaves(state.opt_state)
+                  if hasattr(x, "size"))
+    assert n_state == 2 * n_train + 1  # m + v + the Adam step counter
+
+    before = jax.tree.map(np.asarray, params)  # step() donates its state
+    step = make_vq_train_step(model, tx)
+    new_state, _ = step(state, batch)
+    for a, b in zip(jax.tree.leaves(before["backbone"]),
+                    jax.tree.leaves(new_state.params["backbone"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # ...while trainable params did move
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for k in before if k != "backbone"
+        for a, b in zip(jax.tree.leaves(before[k]),
+                        jax.tree.leaves(new_state.params[k]))
+    )
+    assert moved
+
+
 @pytest.mark.slow
 def test_vq_episode_end_to_end(tmp_path):
     from vilco_tpu.tasks.vq import (

@@ -26,7 +26,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from vilco_tpu.cl.stream import RehearsalMemory, _dedup_by_id
 from vilco_tpu.core.registry import TASKS
@@ -273,7 +272,12 @@ class VQEpisodeRunner:
             self.params = dict(self.params)
             self.params["backbone"] = load_torch_vit_checkpoint(
                 self.params["backbone"], vit_ckpt)
-        self.tx = optax.adamw(lr, weight_decay=weight_decay)
+        from vilco_tpu.train.vq_engine import make_vq_optimizer
+
+        self.tx = make_vq_optimizer(
+            lr, weight_decay,
+            freeze_backbone=self.model.freeze_backbone,
+        )
         self.accumulation_steps = max(accumulation_steps, 1)
         self.train_step = make_vq_train_step(
             self.model, self.tx, use_hnm=use_hnm,

@@ -32,6 +32,32 @@ class VQTrainState(struct.PyTreeNode):
     rng: jax.Array = None
 
 
+def make_vq_optimizer(lr: float, weight_decay: float,
+                      freeze_backbone: bool = True):
+    """AdamW over the TRAINABLE params only, as the reference builds it
+    (VQ/utils/train_utils.py:8-15: with `fix_backbone` the ViT's params get
+    `requires_grad=False` and are filtered OUT of the optimizer — they
+    receive neither weight decay nor Adam state). Here the `backbone`
+    subtree maps to `optax.set_to_zero()` via `multi_transform`: zero
+    updates, zero optimizer state (saves m/v for the ~86M frozen ViT-B
+    params: ~0.7 GB HBM + their per-step read/write traffic), and no
+    spurious `lr*wd` decay of the frozen weights."""
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    if not freeze_backbone:
+        return tx
+
+    def labels(params):
+        return {
+            k: (jax.tree.map(lambda _: "freeze", v) if k == "backbone"
+                else jax.tree.map(lambda _: "train", v))
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels
+    )
+
+
 def replicate_for_hnm(preds_or_gts: dict, b: int) -> dict:
     """(clip_i, query_j) pairing for hard-negative mining: clip index varies
     slowest; off-diagonal pairs become pure negatives
