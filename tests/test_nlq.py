@@ -69,3 +69,18 @@ def test_nlq_episode_end_to_end(tmp_path):
     last_own = results["tasks"][-1]["eval"]["per_task"][-1]
     assert last_own["R5@0.3"] > 0.3, last_own
     assert np.isfinite(final["BwF_R1@0.3"])
+
+
+@pytest.mark.slow
+def test_nlq_vilco_method_cli(tmp_path):
+    """--task nlq --method vilco end-to-end: the L2P pool must follow the
+    text-token dim (cl_cfg.embed_dim derivation) and the SSL ring update
+    must engage via the synthetic narration source (regressions: pool-dim
+    mismatch crash; _ring_update on a narration-less batch)."""
+    from vilco_tpu.bin import train_cl
+
+    res = train_cl.main([
+        "--task", "nlq", "--synthetic", "--method", "vilco",
+        "--workdir", str(tmp_path), "--epochs", "1", "--num-tasks", "2",
+    ])
+    assert np.isfinite(res["final"]["avg_mAP"])

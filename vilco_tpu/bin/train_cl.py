@@ -347,9 +347,18 @@ def main(argv=None):
         train_tasks, val_tasks = make_synthetic_nlq_split(rng, cfg)
         stream = NLQTaskStream(train_tasks, val_tasks)
         feat = SyntheticNLQFeatures(cfg.dataset.input_dim, cfg.model.n_txt_in)
+        nar = None
+        if cfg.cl_cfg.narration_ssl:
+            from vilco_tpu.data.pipeline import SyntheticNarrationSource
+
+            nar = SyntheticNarrationSource(
+                cfg.cl_cfg.narration_dim,
+                cfg.dataset.max_narration_len,
+            )
         runner = NLQEpisodeRunner(cfg, stream, feat.video,
                                   workdir=args.workdir,
-                                  text_source=feat.text)
+                                  text_source=feat.text,
+                                  narration_source=nar)
     else:
         if args.synthetic:
             rng = np.random.default_rng(cfg.init_rand_seed)

@@ -397,7 +397,15 @@ class Config(_Base):
             droppath=self.train_cfg.droppath,
             t_c_alpha=self.train_cfg.t_c_alpha,
         )
-        return self.updated(model=model)
+        cl_cfg = self.cl_cfg
+        if cl_cfg.embed_dim != model.n_txt_in:
+            # L2P prompts are PREPENDED to the raw text tokens
+            # (meta_archs.py:759-780), so the pool's embed_dim must equal
+            # the text-token dim; the reference hardcodes both to the CLIP
+            # 768 (cl_cfg embed_dim, MQ/libs/core/config.py:121/150) —
+            # follow the text dim so non-CLIP feature sets work too
+            cl_cfg = cl_cfg.updated(embed_dim=model.n_txt_in)
+        return self.updated(model=model, cl_cfg=cl_cfg)
 
 
 _SUBCONFIG_TYPES = {

@@ -330,7 +330,10 @@ def make_train_step(
                 )
                 (_, aux_k), g = grad_fn(state.params, mb, mcl, dk, norm)
                 gacc = jax.tree.map(jnp.add, gacc, g)
-                if use_ssl and bank is not None:
+                # narration_feat is None when the batch carries no
+                # narration (e.g. no narration source configured)
+                if (use_ssl and bank is not None
+                        and aux_k["narration_feat"] is not None):
                     bank, ptr = _ring_update(
                         bank, ptr,
                         aux_k["narration_feat"], aux_k["narration_valid"],
@@ -354,7 +357,8 @@ def make_train_step(
                 state.params, batch, cl, drng, state.loss_normalizer
             )
             new_bank, new_ptr = cl.memory_bank, cl.memory_ptr
-            if use_ssl and cl.memory_bank is not None:
+            if (use_ssl and cl.memory_bank is not None
+                    and aux["narration_feat"] is not None):
                 new_bank, new_ptr = _ring_update(
                     cl.memory_bank, cl.memory_ptr,
                     aux["narration_feat"], aux["narration_valid"],
