@@ -154,7 +154,7 @@ def test_episode_vilco_full_method(tmp_path):
         dataset=cfg.dataset.updated(use_text=True, use_narration=True),
         model=cfg.model.updated(use_cross_modal=True, n_txt_in=12),
         opt=cfg.opt.updated(epochs=3),
-    )
+    ).derived()  # re-derive: cl_cfg.embed_dim follows model.n_txt_in
     rng = np.random.default_rng(1)
 
     def text_source(video):
