@@ -45,6 +45,14 @@ class PromptPool(nn.Module):
         Returns dict(prompted (B, top_k*length + L, C), reduce_sim scalar,
         idx (B, top_k)).
         """
+        if x_embed.shape[-1] != self.embed_dim:
+            raise ValueError(
+                f"PromptPool embed_dim={self.embed_dim} but the text tokens "
+                f"are {x_embed.shape[-1]}-d; prompts are prepended to the "
+                f"text stream so the dims must match. Set cl_cfg.embed_dim "
+                f"to the text-token dim (Config.derived() derives it from "
+                f"model.n_txt_in — re-derive after overriding n_txt_in)."
+            )
         prompt = self.param(
             "prompt", nn.initializers.uniform(scale=2.0),
             (self.pool_size, self.length, self.embed_dim), jnp.float32,
