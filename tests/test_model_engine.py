@@ -431,3 +431,15 @@ def test_vit_qkv_contiguous_split_matches_torch_packing():
                                   ref[:, :, 1])
     np.testing.assert_array_equal(qkv[..., 2 * C:].reshape(B, L, H, D),
                                   ref[:, :, 2])
+
+
+def test_prompt_pool_dim_mismatch_raises():
+    """A pool/text embed-dim mismatch must raise the explanatory ValueError
+    (previously an opaque dot_general shape error from flax init)."""
+    import pytest
+
+    from vilco_tpu.cl.prompt import PromptPool
+
+    pool = PromptPool(pool_size=4, length=2, embed_dim=16, top_k=2)
+    with pytest.raises(ValueError, match="n_txt_in"):
+        pool.init(jax.random.PRNGKey(0), jnp.ones((2, 5, 12)))
