@@ -94,3 +94,74 @@ def test_cli_roundtrip(tmp_path):
     main(["--moments", str(mp), "--info", str(ip), "--out", str(op)])
     out = json.loads(op.read_text())
     assert "clipA1" in out and len(out["clipA1"]["annotations"]) == 2
+
+
+def _nlq_raw():
+    """Tiny official-format nlq json (videos -> clips -> annotations ->
+    language_queries)."""
+    return {
+        "videos": [
+            {
+                "video_uid": "vidA",
+                "clips": [
+                    {
+                        "clip_uid": "clipA1",
+                        "video_start_sec": 100.0,
+                        "video_end_sec": 160.0,
+                        "annotations": [
+                            {
+                                "annotation_uid": "annX",
+                                "language_queries": [
+                                    {
+                                        "query": "where did I put the keys?",
+                                        "template": "Where is object X?",
+                                        "clip_start_sec": 5.0,
+                                        "clip_end_sec": 9.0,
+                                    },
+                                    {"query": ""},  # empty -> dropped
+                                    {
+                                        "query": "who did I talk to?",
+                                        "clip_start_sec": 20.0,
+                                        "clip_end_sec": 30.0,
+                                    },
+                                ],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+
+
+def test_convert_nlq_flattens_and_keys(tmp_path):
+    from vilco_tpu.bin.convert_annotations import convert_nlq
+
+    recs = convert_nlq(_nlq_raw())
+    assert len(recs) == 2  # the empty query is dropped
+    r0, r1 = recs
+    assert r0["query_id"] == "annX_0" and r1["query_id"] == "annX_2"
+    assert r0["annotation_uid"] == "annX" and r0["query_idx"] == 0
+    assert r0["duration"] == 60.0 and r0["video_id"] == "clipA1"
+    assert r0["timestamps"] == [[5.0, 9.0]]
+    assert r0["template"] == "Where is object X?"
+    assert "template" not in r1
+    # unannotated test split: no timestamps
+    assert "timestamps" not in convert_nlq(_nlq_raw(), test_split=True)[0]
+
+
+def test_convert_nlq_cli_roundtrips_into_pipeline(tmp_path):
+    """--nlq jsonl output feeds load_nlq_tasks/adapt_query_record."""
+    from vilco_tpu.tasks.nlq import adapt_query_record, load_nlq_tasks
+
+    raw = tmp_path / "nlq_train.json"
+    out = tmp_path / "nlq_train_v2.jsonl"
+    raw.write_text(json.dumps(_nlq_raw()))
+    main(["--nlq", str(raw), "--out", str(out)])
+    tasks = load_nlq_tasks(str(out))
+    recs = [r for t in tasks.values() for r in t]
+    assert len(recs) == 2
+    v = adapt_query_record(recs[0]["raw"] if "raw" in recs[0] else recs[0])
+    assert v["query_key"] == ("clipA1", "annX", 0)
+    assert v["duration"] == 60.0
+    assert v["segments"].shape == (1, 2)

@@ -1,6 +1,6 @@
-"""Ego4D MQ annotation converter: video-level moments -> clip-level JSON.
+"""Ego4D annotation converters: raw release JSON -> pipeline formats.
 
-Equivalent of scripts/convert_annotation.py (= MQ/convert_annotation.py):
+MQ (equivalent of scripts/convert_annotation.py = MQ/convert_annotation.py):
 merge moments_{train,val,test}.json, map each clip to its parent video
 (duration/fps from ego4d.json), rebase segment times from video to clip
 coordinates, and emit the clip-annotation dict that split_mq / the MQ
@@ -10,6 +10,15 @@ subset, annotations: [{label, label_id, segment}]}}).
   python -m vilco_tpu.bin.convert_annotations \
       --moments moments_train.json moments_val.json \
       --info ego4d.json --out ego4d_clip_annotations.json
+
+NLQ (equivalent of NLQ/ego4d_data/reformat_data.py:8-28): flatten the
+official nlq_{train,val}.json (videos -> clips -> annotations ->
+language_queries) into the per-query jsonl records that
+tasks/nlq.py::load_nlq_tasks and bin/make_splits.py consume.
+
+  python -m vilco_tpu.bin.convert_annotations \
+      --nlq nlq_train.json --out ego4d_nlq_train_v2.jsonl
+  # unannotated test split (no timestamps): add --test-split
 """
 
 from __future__ import annotations
@@ -86,12 +95,69 @@ def convert(
     }
 
 
+def convert_nlq(raw: dict, test_split: bool = False) -> List[dict]:
+    """Official Ego4D nlq json -> flat per-query records.
+
+    Same semantics as NLQ/ego4d_data/reformat_data.py:8-28 (query_id =
+    f"{annotation_uid}_{query_idx}", duration from the clip span, empty
+    queries skipped, no timestamps on the unannotated test split), plus
+    `annotation_uid`/`query_idx`/`clip_uid` kept explicitly (the official
+    scorer keys on them) and the `template` label when present (the CL
+    splitter groups by it directly instead of re-deriving via TF-IDF).
+    """
+    out = []
+    for video in raw.get("videos", []):
+        for clip in video.get("clips", []):
+            for ann in clip.get("annotations", []):
+                anno_id = ann["annotation_uid"]
+                for qid, q in enumerate(ann.get("language_queries", [])):
+                    if not q.get("query"):
+                        continue
+                    rec = {
+                        "query": q["query"],
+                        "query_id": f"{anno_id}_{qid}",
+                        "annotation_uid": anno_id,
+                        "query_idx": qid,
+                        "duration": clip["video_end_sec"]
+                        - clip["video_start_sec"],
+                        "video_id": clip["clip_uid"],
+                        "clip_uid": clip["clip_uid"],
+                        "query_type": "nlq",
+                    }
+                    if q.get("template"):
+                        rec["template"] = q["template"]
+                    if not test_split:
+                        rec["timestamps"] = [
+                            [q["clip_start_sec"], q["clip_end_sec"]]
+                        ]
+                    out.append(rec)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--moments", nargs="+", required=True)
-    p.add_argument("--info", required=True)
+    p.add_argument("--moments", nargs="+",
+                   help="MQ mode: moments_{train,val,...}.json files")
+    p.add_argument("--info", help="MQ mode: ego4d.json video info")
+    p.add_argument("--nlq",
+                   help="NLQ mode: official nlq_{train,val}.json -> jsonl")
+    p.add_argument("--test-split", action="store_true",
+                   help="NLQ mode: unannotated test split (no timestamps)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
+    if args.nlq and args.moments:
+        p.error("--nlq and --moments are mutually exclusive")
+    if args.nlq:
+        with open(args.nlq) as f:
+            raw = json.load(f)
+        recs = convert_nlq(raw, test_split=args.test_split)
+        with open(args.out, "w") as f:
+            for rec in recs:
+                f.write(json.dumps(rec) + "\n")
+        print(f"wrote {args.out}: {len(recs)} queries")
+        return
+    if not args.moments or not args.info:
+        p.error("MQ mode needs --moments and --info (or use --nlq)")
     mfs = []
     for path in args.moments:
         with open(path) as f:
