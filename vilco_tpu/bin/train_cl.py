@@ -51,6 +51,9 @@ def main(argv=None):
                         "fresh init)")
     p.add_argument("--workers", type=int, default=None,
                    help="loader worker threads (prefetching batch build)")
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="override loader.batch_size (per-host; the global "
+                        "batch under --distributed is batch_size * hosts)")
     p.add_argument("--accum-steps", type=int, default=0,
                    help="gradient accumulation: micro-batches per optimizer "
                         "step (reference config.train.accumulation_step); "
@@ -201,6 +204,9 @@ def main(argv=None):
         cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(num_tasks=args.num_tasks))
     if args.workers is not None:
         cfg = cfg.updated(loader=cfg.loader.updated(num_workers=args.workers))
+    if args.batch_size:
+        cfg = cfg.updated(loader=cfg.loader.updated(
+            batch_size=args.batch_size))
 
     import numpy as np
 

@@ -116,8 +116,15 @@ def init_distributed() -> tuple:
     model init, even jax.process_count()) — train_cl calls it first thing.
     Calls `jax.distributed.initialize()` when a coordinator is configured
     (JAX_COORDINATOR_ADDRESS env or TPU-pod metadata via megascale env
-    vars); otherwise a single-process no-op. Returns
-    (process_index, process_count) — feed these to BatchIterator's
+    vars); otherwise a single-process no-op. On generic (non-SLURM,
+    non-TPU-pod) launches jax's cluster auto-detection cannot infer the
+    process layout, so `JAX_NUM_PROCESSES` and `JAX_PROCESS_ID` are read
+    here and passed explicitly — the torchrun env-var launch shape:
+
+      JAX_COORDINATOR_ADDRESS=host:port JAX_NUM_PROCESSES=N \\
+      JAX_PROCESS_ID=i python -m vilco_tpu.bin.train_cl --distributed ...
+
+    Returns (process_index, process_count) — feed these to BatchIterator's
     (shard_id, num_shards) for the deterministic per-host data shard that
     replaces DistributedSampler.
     """
@@ -125,8 +132,13 @@ def init_distributed() -> tuple:
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
             "MEGASCALE_COORDINATOR_ADDRESS"):
+        n = os.environ.get("JAX_NUM_PROCESSES")
+        i = os.environ.get("JAX_PROCESS_ID")
+        kwargs = {}
+        if n is not None and i is not None:
+            kwargs = dict(num_processes=int(n), process_id=int(i))
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except RuntimeError as e:
             if "already" not in str(e).lower():
                 raise
