@@ -54,7 +54,8 @@ def test_two_process_distributed_episode(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=840)
+            # generous: two concurrent compiles on the 1-core CI host
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     finally:
         for p in procs:

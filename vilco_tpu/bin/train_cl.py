@@ -128,12 +128,13 @@ def main(argv=None):
         has_dp = hasattr(runner, "enable_data_parallel")
         if args.distributed:
             runner.shard = shard
-            if shard[1] > 1 and not has_dp:
-                # no mesh support -> each host would train an independent
-                # diverging replica; refuse rather than pretend
+            if shard[1] > 1 and not (
+                    has_dp and getattr(runner, "supports_multihost", True)):
+                # no multi-host support -> each host would train an
+                # independent diverging replica; refuse rather than pretend
                 p.error("--distributed with multiple hosts needs a runner "
-                        "with data-parallel support (the VQ runner has "
-                        "none yet) — run single-host")
+                        "with multi-host data-parallel support (the VQ "
+                        "runner is single-host) — run single-host")
             if shard[1] > 1 and not dp:
                 # without a mesh each host would train an independent
                 # diverging replica on 1/N of the data (no gradient
@@ -148,7 +149,7 @@ def main(argv=None):
             n = None if dp == -1 else dp
             runner.enable_data_parallel(make_mesh(n))
         elif dp:
-            p.error("--dp is not supported by this task's runner (VQ)")
+            p.error("--dp is not supported by this task's runner")
         if args.init_from:
             from vilco_tpu.core.checkpoint import load_params_into
 
@@ -245,6 +246,8 @@ def main(argv=None):
             vq_kw["vit_ckpt"] = args.vit_ckpt
         if args.accum_steps:
             vq_kw["accumulation_steps"] = args.accum_steps
+        if args.batch_size:
+            vq_kw["batch_size"] = args.batch_size
 
         if args.vq_annotations:
             from vilco_tpu.data.vq_frames import (

@@ -290,6 +290,48 @@ class VQEpisodeRunner:
         self.memory = RehearsalMemory(seed=seed)
         self.reg_list: List = []
         self.bwf = BwfTracker()
+        self.mesh = None
+
+    # --------------------------------------------------------------
+    # single-host only: multi-host VQ would need a host-sharded window
+    # loader (the CLI refuses --distributed VQ via this flag)
+    supports_multihost = False
+
+    def enable_data_parallel(self, mesh=None):
+        """Run the jitted VQ steps SPMD over a device mesh: batches shard
+        over the 'data' axis, params replicate, XLA inserts the gradient
+        psum — the reference VQ's single-node DDP + SyncBatchNorm
+        (VQ/train_cl.py:112-119) by construction (GroupNorm here has no
+        cross-device batch stats to sync)."""
+        import jax as _jax
+
+        from vilco_tpu.parallel.mesh import make_mesh
+
+        if _jax.process_count() > 1:
+            raise NotImplementedError(
+                "VQ data-parallel is single-host only (needs a host-"
+                "sharded window loader for multi-host)")
+        self.mesh = mesh if mesh is not None else make_mesh()
+        d = self.mesh.shape.get("data", 1)
+        if self.batch_size % d:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by "
+                f"data-mesh size {d}")
+        return self
+
+    def _to_device(self, batch):
+        if self.mesh is None:
+            return batch
+        from vilco_tpu.parallel.mesh import batch_shardings
+
+        return jax.device_put(batch, batch_shardings(batch, self.mesh))
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from vilco_tpu.parallel.mesh import replicated
+
+        return jax.device_put(tree, replicated(tree, self.mesh))
 
     # --------------------------------------------------------------
     def _window_indices(self, sample: dict,
@@ -360,12 +402,14 @@ class VQEpisodeRunner:
             opt_state=self.tx.init(self.params),
             rng=jax.random.PRNGKey(self.seed + j),
         )
+        state = self._replicate(state)
         reg = None
         if self.method in ("ewc", "mas") and self.reg_list:
             from vilco_tpu.cl.regularizers import stack_reg_tasks
 
             f, o = stack_reg_tasks(self.reg_list)
             reg = (jax.tree.map(jnp.asarray, f), jax.tree.map(jnp.asarray, o))
+            reg = self._replicate(reg)
         t0 = time.time()
         n = 0
         for ep in range(self.epochs):
@@ -377,7 +421,8 @@ class VQEpisodeRunner:
 
                     self._aug_key, k = jax.random.split(self._aug_key)
                     batch = augment_vq_batch(k, batch)
-                state, metrics = self.train_step(state, batch, reg)
+                state, metrics = self.train_step(
+                    state, self._to_device(batch), reg)
                 n += 1
         self.params = state.params
         last = {k: float(v) for k, v in metrics.items()}
@@ -415,7 +460,7 @@ class VQEpisodeRunner:
         # micro batch_size: importance estimation must not pay the
         # accumulated K*B device footprint
         for batch in self._train_batches(videos, rng, self.batch_size):
-            g = grad_fn(self.params, batch)
+            g = grad_fn(self.params, self._to_device(batch))
             acc = g if acc is None else jax.tree.map(jnp.add, acc, g)
         if acc is None:
             return
