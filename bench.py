@@ -306,6 +306,11 @@ def parse_args(argv=None):
                    help="Adam second moment STORED in bfloat16 (computed "
                         "in f32; FusedAdamW only — quality-gate on the CL "
                         "ladder before defaulting, see RESULTS)")
+    p.add_argument("--params-bf16", action="store_true",
+                   help="persistent bf16 compute copy of the matmul "
+                        "kernels + bf16 grads, f32 AdamW master (standard "
+                        "TPU mixed-precision layout; forward numerics "
+                        "identical, grads get one extra bf16 rounding)")
     p.add_argument("--mu-f32", action="store_true",
                    help="Adam first moment in float32 (the pre-round-2 "
                         "default; exact reference state precision)")
@@ -383,6 +388,9 @@ def run_one(args):
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype="float32"))
     if args.nu_bf16:
         cfg = cfg.updated(opt=cfg.opt.updated(nu_dtype="bfloat16"))
+    if args.params_bf16:
+        cfg = cfg.updated(
+            opt=cfg.opt.updated(param_compute_dtype="bfloat16"))
     if args.factored:
         cfg = cfg.updated(opt=cfg.opt.updated(second_moment="factored"))
     if args.flat_opt:
@@ -450,11 +458,17 @@ def run_one(args):
     with jax.default_device(cpu):
         opt_state = tx.init(jax.device_put(params, cpu))
     opt_state = jax.device_put(opt_state, accel)
+    params_c = None
+    if cfg.opt.param_compute_dtype == "bfloat16":
+        from vilco_tpu.train.optim import make_compute_copy
+
+        params_c = make_compute_copy(params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
         opt_state=opt_state,
         loss_normalizer=jnp.asarray(100.0, jnp.float32),
         rng=jax.random.PRNGKey(1),
+        params_c=params_c,
     )
     # commit EVERY input to the accelerator: with JAX_PLATFORMS=axon,cpu an
     # uncommitted input makes jit lower per-platform, and TPU-only pallas

@@ -414,6 +414,107 @@ def test_fused_adamw_nu_bf16_storage():
                        params, 10)
 
 
+def test_params_bf16_compute_overlay():
+    """param_compute_dtype=bfloat16 (persistent bf16 kernel overlay +
+    bf16 grads over the f32 AdamW master): the overlaid forward must
+    match the default per-step-cast forward exactly (the stored copy IS
+    the cast), the trajectory must track the default within bf16-grad
+    rounding, and the overlay must stay consistent with the master."""
+    from vilco_tpu.train.engine import inject_adapters
+    from vilco_tpu.train.optim import make_compute_copy
+
+    base = tiny_config()
+    # a real lr so trajectories move (defaults warm up from ~0), and bf16
+    # activations — the overlay is only valid (and only a no-op for the
+    # forward) when kernels are consumed at bf16, as on the TPU flagship
+    base = base.updated(
+        opt=base.opt.updated(warmup=False, learning_rate=1e-2),
+        model=base.model.updated(compute_dtype="bfloat16"))
+    cfg_pc = base.updated(
+        opt=base.opt.updated(param_compute_dtype="bfloat16"))
+    model, params, batch = build(base)
+    points = jnp.asarray(generate_points(
+        level_lengths(base.model), base.model.fpn_strides,
+        base.model.regression_range,
+    ))
+    overlay = make_compute_copy(params)
+    assert overlay, "no kernels overlaid — mask matched nothing"
+    assert all(v.dtype == jnp.bfloat16 for v in overlay.values())
+    assert all(k.startswith(("backbone", "neck", "cls_head", "reg_head"))
+               for k in overlay)
+
+    # forward equivalence: bf16 overlay injected == f32 master (the model
+    # casts kernels to the activation dtype per use either way)
+    b = _to_jnp(batch)
+    out_f32 = model.apply({"params": params}, b["feats"], b["mask"],
+                          deterministic=True)
+    out_pc = model.apply({"params": inject_adapters(params, overlay)},
+                         b["feats"], b["mask"], deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_pc["cls_logits"]), np.asarray(out_f32["cls_logits"]),
+        rtol=1e-6, atol=1e-6)
+
+    def mk_state(cfg, pc):
+        # each state owns its buffers: the jitted step donates them
+        p = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        tx, _ = make_optimizer(cfg.opt, p, steps_per_epoch=10)
+        st = TrainState(
+            step=jnp.zeros((), jnp.int32), params=p,
+            opt_state=tx.init(p),
+            loss_normalizer=jnp.asarray(base.train_cfg.init_loss_norm),
+            rng=jax.random.PRNGKey(1),
+            params_c=make_compute_copy(p) if pc else None,
+        )
+        return make_train_step(model, tx, points, cfg), st
+
+    step0, s0 = mk_state(base, pc=False)
+    step1, s1 = mk_state(cfg_pc, pc=True)
+    cl = CLBatchExtras(class_mask=jnp.ones((base.model.num_classes,), bool))
+    params_np = jax.tree.map(np.asarray, params)
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        bi = _to_jnp(make_batch(rng, base.loader.batch_size, base))
+        s0, m0, _ = step0(s0, bi, cl)
+        s1, m1, _ = step1(s1, bi, cl)
+        if i == 0:
+            # pre-update forwards identical -> identical first loss
+            np.testing.assert_allclose(float(m1["final_loss"]),
+                                       float(m0["final_loss"]), rtol=1e-6)
+        if i == 1:
+            # after the FIRST REAL update (the cosine schedule warms up
+            # from lr=0, so step 1 moves nothing) the masters differ
+            # only by the bf16 grad rounding through Adam (|u| <= ~1,
+            # rel err ~0.4% -> |dp| << lr); later steps diverge
+            # chaotically through sqrt(v)
+            moved = max(float(jnp.abs(jnp.asarray(a) - b).max())
+                        for a, b in zip(jax.tree.leaves(s0.params),
+                                        jax.tree.leaves(params_np)))
+            assert moved > 1e-3, moved
+            for a, b in zip(jax.tree.leaves(s1.params),
+                            jax.tree.leaves(s0.params)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=0, atol=2e-3)
+        # losses stay finite and track loosely across steps
+        assert np.isfinite(float(m1["final_loss"]))
+        np.testing.assert_allclose(float(m1["final_loss"]),
+                                   float(m0["final_loss"]), rtol=0.1)
+    # overlay invariant: params_c == bf16 cast of the updated master
+    flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): leaf
+        for path, leaf in
+        jax.tree_util.tree_flatten_with_path(s1.params)[0]
+    }
+    for k, v in s1.params_c.items():
+        assert v.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(v, np.float32),
+            np.asarray(flat[k].astype(jnp.bfloat16), np.float32), k)
+    # non-fused optimizer path must reject the flag
+    with pytest.raises(ValueError, match="FusedAdamW"):
+        make_optimizer(
+            cfg_pc.opt.updated(fused_apply=False), params, 10)
+
+
 def test_vit_qkv_contiguous_split_matches_torch_packing():
     """ViTBlock splits the packed qkv Dense output into contiguous thirds;
     this must equal reshape(B, L, 3, H, D) slicing — the torch qkv weight

@@ -73,6 +73,19 @@ def main(argv=None):
                    help="Adam second-moment STORAGE dtype (default "
                         "float32; bfloat16 halves nu-state HBM traffic "
                         "but must be quality-validated — see RESULTS.md)")
+    p.add_argument("--params-bf16", action="store_true",
+                   help="persistent bf16 compute copy of the matmul "
+                        "kernels + bf16 grads over an f32 AdamW master "
+                        "(standard TPU mixed-precision layout; forward "
+                        "numerics identical — see RESULTS.md). Needs "
+                        "model.compute_dtype=bfloat16 (the flagship "
+                        "default; pass --compute-dtype bfloat16 on the "
+                        "synthetic tiny config)")
+    p.add_argument("--compute-dtype", choices=["bfloat16", "float32"],
+                   default=None,
+                   help="activation dtype override (default: config — "
+                        "bfloat16 on the flagship shapes, float32 on the "
+                        "tiny synthetic config)")
     # real-data VQ sources (data/vq_frames.py)
     p.add_argument("--vq-annotations", default=None,
                    help="Ego4D vq_train.json (with --task vq)")
@@ -199,6 +212,12 @@ def main(argv=None):
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype=args.mu_dtype))
     if args.nu_dtype:
         cfg = cfg.updated(opt=cfg.opt.updated(nu_dtype=args.nu_dtype))
+    if args.compute_dtype:
+        cfg = cfg.updated(
+            model=cfg.model.updated(compute_dtype=args.compute_dtype))
+    if args.params_bf16:
+        cfg = cfg.updated(
+            opt=cfg.opt.updated(param_compute_dtype="bfloat16"))
     if args.epochs:
         cfg = cfg.updated(opt=cfg.opt.updated(epochs=args.epochs))
     if args.num_tasks:

@@ -322,6 +322,11 @@ class EpisodeRunner:
         adapter_ema = (
             init_adapter_ema(self.params) if cfg.cl_cfg.use_adapt else None
         )
+        params_c = None
+        if cfg.opt.param_compute_dtype == "bfloat16":
+            from vilco_tpu.train.optim import make_compute_copy
+
+            params_c = make_compute_copy(self.params)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=self.params,
@@ -331,6 +336,7 @@ class EpisodeRunner:
             ),
             rng=jax.random.PRNGKey(cfg.init_rand_seed + j),
             adapter_ema=adapter_ema,
+            params_c=params_c,
         )
         state = self._shard_state(state)
 

@@ -312,6 +312,16 @@ class OptCfg(_Base):
     # tree_map; no materialized updates pytree) — same math as the optax
     # chain, less HBM traffic. Ignored for sgd/factored/flatten.
     fused_apply: bool = True
+    # "bfloat16" keeps a PERSISTENT bf16 copy of the big matmul/conv
+    # kernels (the leaves the model consumes at bf16 anyway) for the
+    # forward/backward, with the f32 master updated by AdamW — the
+    # standard TPU mixed-precision trainer layout. Forward numerics are
+    # bit-identical (the stored copy equals the per-step cast); gradients
+    # land in bf16 (one extra rounding) before the f32 update math.
+    # Cuts f32 weight reads + halves grad write/read traffic on the
+    # bandwidth-bound step. OPT-IN (FusedAdamW path only) pending
+    # quality validation per workload.
+    param_compute_dtype: str = "float32"
     ema_decay: float = 0.0          # model EMA (train_utils.py ModelEma); 0 = off
     # gradient accumulation (reference `config.train.accumulation_step`,
     # VQ/config/config.py:75 + train_anchor.py:88-106): each optimizer

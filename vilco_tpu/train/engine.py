@@ -37,6 +37,11 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array
     adapter_ema: Any = None              # EMA copy of CL adapter params
     ema_params: Any = None               # optional full-model EMA
+    # persistent bf16 OVERLAY of the matmul kernels for forward/backward:
+    # a path-keyed dict (optim.make_compute_copy) injected over `params`
+    # via inject_adapters when opt.param_compute_dtype=bfloat16 —
+    # `params` stays the f32 master the optimizer updates
+    params_c: Any = None
 
 
 class CLBatchExtras(struct.PyTreeNode):
@@ -247,6 +252,11 @@ def make_train_step(
 ) -> Callable:
     """Build the jitted train step for the current CL configuration.
 
+    `param_compute_dtype=bfloat16` (the state's params_c overlay) requires
+    bf16 activations: with compute_dtype=float32 the kernels are consumed
+    at f32 and a bf16 copy would CHANGE the forward instead of matching
+    the per-step cast.
+
     `accumulation_steps=K` splits the incoming batch into K micro-batches
     and accumulates their gradients inside ONE jitted dispatch (a
     `lax.scan`, so XLA keeps only one micro-batch's activations live) and
@@ -258,6 +268,14 @@ def make_train_step(
     memory-bank ring advance once per micro-batch, exactly as they would
     across K sequential reference batches.
     """
+
+    if (cfg.opt.param_compute_dtype == "bfloat16"
+            and cfg.model.compute_dtype != "bfloat16"):
+        raise ValueError(
+            "param_compute_dtype=bfloat16 needs model.compute_dtype="
+            "bfloat16: with f32 activations the kernels are consumed at "
+            "f32, so a stored bf16 copy would change the forward"
+        )
 
     def loss_fn(params, mb, mcl, drng, norm_in):
         outputs = model.apply(
@@ -300,6 +318,12 @@ def make_train_step(
 
     def step(state: TrainState, batch: dict, cl: CLBatchExtras):
         rng, drng = jax.random.split(state.rng)
+        # mixed-precision layout: differentiate w.r.t. the master tree
+        # with the persistent bf16 kernel overlay injected (forward
+        # numerics identical to casting the f32 master per step; grads
+        # for the overlaid leaves land bf16)
+        fwd_params = (state.params if state.params_c is None
+                      else inject_adapters(state.params, state.params_c))
 
         if accumulation_steps > 1:
             K = accumulation_steps
@@ -318,8 +342,10 @@ def make_train_step(
                     (K, b // K) + cl.prev_logits.shape[1:]
                 )
             drngs = jax.random.split(drng, K)
+            # accumulate in f32 even when micro-grads land bf16
+            # (param_compute_dtype path)
             gzero = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, p.dtype), state.params
+                lambda p: jnp.zeros(p.shape, jnp.float32), fwd_params
             )
 
             def body(carry, xs):
@@ -328,7 +354,7 @@ def make_train_step(
                 mcl = cl.replace(
                     prev_logits=pk, memory_bank=bank, memory_ptr=ptr
                 )
-                (_, aux_k), g = grad_fn(state.params, mb, mcl, dk, norm)
+                (_, aux_k), g = grad_fn(fwd_params, mb, mcl, dk, norm)
                 gacc = jax.tree.map(jnp.add, gacc, g)
                 # narration_feat is None when the batch carries no
                 # narration (e.g. no narration source configured)
@@ -354,7 +380,7 @@ def make_train_step(
             }
         else:
             (_, aux), grads = grad_fn(
-                state.params, batch, cl, drng, state.loss_normalizer
+                fwd_params, batch, cl, drng, state.loss_normalizer
             )
             new_bank, new_ptr = cl.memory_bank, cl.memory_ptr
             if (use_ssl and cl.memory_bank is not None
@@ -364,13 +390,34 @@ def make_train_step(
                     aux["narration_feat"], aux["narration_valid"],
                 )
         if cfg.train_cfg.clip_grad_l2norm > 0:
-            gnorm = optax.global_norm(grads)
+            if state.params_c is not None:
+                # f32-accumulated norm over possibly-bf16 grad leaves
+                # (optax.global_norm would reduce those in bf16); the
+                # cast fuses into the reduce — no materialized copy
+                gnorm = jnp.sqrt(sum(
+                    jnp.sum(jnp.square(g.astype(jnp.float32)))
+                    for g in jax.tree.leaves(grads)
+                ))
+            else:
+                gnorm = optax.global_norm(grads)
             scale = jnp.minimum(
                 1.0, cfg.train_cfg.clip_grad_l2norm / (gnorm + 1e-9)
             )
-            grads = jax.tree.map(lambda g: g * scale, grads)
+            grads = jax.tree.map(
+                lambda g: g * scale.astype(g.dtype), grads
+            )
             aux["metrics"]["grad_norm"] = gnorm
-        if hasattr(tx, "fused_apply"):
+        new_pc = None
+        if state.params_c is not None:
+            if not hasattr(tx, "fused_apply_pc"):
+                raise ValueError(
+                    "params_c (param_compute_dtype=bfloat16) requires "
+                    "the FusedAdamW optimizer path"
+                )
+            new_params, new_pc, new_opt_state = tx.fused_apply_pc(
+                grads, state.opt_state, state.params
+            )
+        elif hasattr(tx, "fused_apply"):
             # single-pass AdamW: no materialized updates pytree
             # (optim.py::FusedAdamW)
             new_params, new_opt_state = tx.fused_apply(
@@ -407,6 +454,7 @@ def make_train_step(
             rng=rng,
             adapter_ema=new_adapter_ema,
             ema_params=new_ema,
+            params_c=new_pc,
         )
         return new_state, aux["metrics"], (new_bank, new_ptr)
 

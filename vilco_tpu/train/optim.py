@@ -31,6 +31,44 @@ def weight_decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
+def param_compute_mask(params) -> Any:
+    """True for the big matmul/conv kernels the point-transformer consumes
+    at bf16 (every Dense/Conv runs with dtype=x.dtype after the model's
+    activation cast, point_transformer.py:215-222): leaves named 'kernel'
+    with ndim >= 2 under the bf16 trunk modules. Norm scales/biases and
+    f32-consumed leaves (narration encoder, prompt pool, per-class
+    Gaussians) stay float32 so numerics match the default path exactly."""
+    bf16_roots = ("backbone", "neck", "cls_head", "reg_head")
+
+    def mask_fn(path, leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        return (bool(names) and names[0] in bf16_roots
+                and names[-1] == "kernel" and leaf.ndim >= 2)
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def _path_key(path) -> str:
+    # same join convention as engine._extract_adapters/inject_adapters
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+def make_compute_copy(params, mask=None):
+    """Path-keyed dict of bf16 copies of the masked (big-kernel) leaves.
+    Stored as an overlay — NOT a full tree — so the donated TrainState
+    never holds the same f32 buffer twice (params + copy); inject over
+    the master with engine.inject_adapters. Values equal the cast the
+    model would apply per step, stored once."""
+    if mask is None:
+        mask = param_compute_mask(params)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_m = jax.tree_util.tree_flatten(mask)[0]
+    return {
+        _path_key(path): leaf.astype(jnp.bfloat16)
+        for (path, leaf), m in zip(flat, flat_m) if m
+    }
+
+
 def make_schedule(cfg: OptCfg, steps_per_epoch: int) -> optax.Schedule:
     total = cfg.epochs * steps_per_epoch
     warmup = cfg.warmup_epochs * steps_per_epoch if cfg.warmup else 0
@@ -66,6 +104,12 @@ def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
             "nu_dtype=bfloat16 requires the FusedAdamW path "
             "(adamw + fused_apply, non-factored, non-flatten): optax's "
             "scale_by_adam has no second-moment dtype control"
+        )
+    if cfg.param_compute_dtype == "bfloat16":
+        raise ValueError(
+            "param_compute_dtype=bfloat16 requires the FusedAdamW path "
+            "(adamw + fused_apply, non-factored, non-flatten): the optax "
+            "chain would run its moment EMAs in the bf16 grad dtype"
         )
     # `cfg.flatten` ravels the MOMENT update into one flat buffer
     # (optax.flatten, identical math); the masked weight decay stays
@@ -124,6 +168,8 @@ class FusedAdamW:
                          else None)
         self.nu_dtype = (jnp.bfloat16 if cfg.nu_dtype == "bfloat16"
                          else None)
+        self.pc_mask = (param_compute_mask(params)
+                        if cfg.param_compute_dtype == "bfloat16" else None)
         self._chain = optax.chain(
             optax.scale_by_adam(mu_dtype=self.mu_dtype),
             optax.add_decayed_weights(cfg.weight_decay, mask=self.mask),
@@ -156,6 +202,22 @@ class FusedAdamW:
         return updates, new_state
 
     def fused_apply(self, grads, state, params):
+        new_p, _, new_state = self._fused(grads, state, params,
+                                          with_pc=False)
+        return new_p, new_state
+
+    def fused_apply_pc(self, grads, state, params):
+        """As fused_apply, additionally emitting the persistent bf16
+        compute overlay (param_compute_dtype=bfloat16; a path-keyed dict
+        like make_compute_copy's) while the new params are still in
+        registers — no extra f32 read. Gradients may arrive bf16 (they
+        are taken w.r.t. the compute copy); the update math stays f32."""
+        if self.pc_mask is None:
+            raise ValueError(
+                "fused_apply_pc needs param_compute_dtype=bfloat16")
+        return self._fused(grads, state, params, with_pc=True)
+
+    def _fused(self, grads, state, params, with_pc: bool):
         adam_s, masked_s, sched_s = state
         count_inc = adam_s.count + 1
         bc1 = 1.0 - self.B1 ** count_inc.astype(jnp.float32)
@@ -163,6 +225,9 @@ class FusedAdamW:
         lr = self.sched(sched_s.count)
 
         def upd(p, g, m, v, decay):
+            # bf16 grads (param_compute_dtype path) enter the update math
+            # in f32; a no-op cast on the default f32 grads
+            g = g.astype(jnp.float32)
             m2 = (1.0 - self.B1) * g + self.B1 * m
             # the EMA accumulates in f32 even when nu is stored bf16
             # (a no-op cast on the default f32 state)
@@ -179,19 +244,27 @@ class FusedAdamW:
                 v2 = v2.astype(self.nu_dtype)
             return p2, m2, v2
 
-        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat_pp, treedef = jax.tree_util.tree_flatten_with_path(params)
+        paths = [p for p, _ in flat_pp]
+        flat_p = [l for _, l in flat_pp]
         flat_g = treedef.flatten_up_to(grads)
         flat_m = treedef.flatten_up_to(adam_s.mu)
         flat_v = treedef.flatten_up_to(adam_s.nu)
         flat_d = treedef.flatten_up_to(self.mask)
+        flat_c = (treedef.flatten_up_to(self.pc_mask) if with_pc
+                  else [False] * len(flat_p))
         out = [upd(p, g, m, v, d) for p, g, m, v, d in
                zip(flat_p, flat_g, flat_m, flat_v, flat_d)]
         new_p = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
         new_m = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
         new_v = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])
+        new_pc = ({
+            _path_key(path): o[0].astype(jnp.bfloat16)
+            for path, o, c in zip(paths, out, flat_c) if c
+        } if with_pc else None)
         new_state = (
             adam_s._replace(count=count_inc, mu=new_m, nu=new_v),
             masked_s,
             sched_s._replace(count=sched_s.count + 1),
         )
-        return new_p, new_state
+        return new_p, new_pc, new_state
