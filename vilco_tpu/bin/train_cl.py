@@ -232,6 +232,9 @@ def main(argv=None):
 
     task = args.task or cfg.task
     text_source = None
+    if task == "vq" and args.params_bf16:
+        p.error("--params-bf16 covers the point-transformer engine "
+                "(mq/nlq); the VQ runner's optimizer does not consume it")
     if task == "vq":
         # VQ (visual query 2-D tracking) episode — replaces VQ/train_cl.py
         from vilco_tpu.tasks.vq import (
