@@ -45,3 +45,23 @@ def test_evaluate_cli_reproduces_final_eval(tmp_path):
     np.testing.assert_allclose(
         ev0["avg_mAP"], res["tasks"][0]["eval"]["avg_mAP"], rtol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_seed_flag_persists_and_changes_the_run(tmp_path):
+    """--seed overrides config.init_rand_seed (the reference's
+    fix_random_seed knob, MQ/libs/utils/train_utils.py:33) and flows into
+    the persisted workdir config + the synthetic data stream."""
+    runs = {}
+    for seed in (0, 7):
+        wd = str(tmp_path / f"s{seed}")
+        runs[seed] = train_cl.main([
+            "--synthetic", "--workdir", wd, "--epochs", "1",
+            "--num-tasks", "2", "--seed", str(seed),
+        ])
+        with open(tmp_path / f"s{seed}" / "config.json") as f:
+            assert json.load(f)["init_rand_seed"] == seed
+    # different seeds -> different synthetic splits/init -> different losses
+    a = runs[0]["tasks"][0]["train"]["last_metrics"]["final_loss"]
+    b = runs[7]["tasks"][0]["train"]["last_metrics"]["final_loss"]
+    assert a != b

@@ -86,6 +86,10 @@ def main(argv=None):
                    help="activation dtype override (default: config — "
                         "bfloat16 on the flagship shapes, float32 on the "
                         "tiny synthetic config)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="override config.init_rand_seed (model init, data "
+                        "order, synthetic fixtures) — the reference's "
+                        "fix_random_seed knob, for paired quality sweeps")
     # real-data VQ sources (data/vq_frames.py)
     p.add_argument("--vq-annotations", default=None,
                    help="Ego4D vq_train.json (with --task vq)")
@@ -218,6 +222,8 @@ def main(argv=None):
     if args.params_bf16:
         cfg = cfg.updated(
             opt=cfg.opt.updated(param_compute_dtype="bfloat16"))
+    if args.seed is not None:
+        cfg = cfg.updated(init_rand_seed=args.seed)
     if args.epochs:
         cfg = cfg.updated(opt=cfg.opt.updated(epochs=args.epochs))
     if args.num_tasks:
