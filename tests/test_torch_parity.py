@@ -389,6 +389,60 @@ def test_xlnet_mems_recurrence_parity(ref, rng):
     np.testing.assert_allclose(np.asarray(o2), _np(t_o2), atol=TOL)
 
 
+def test_xlnet_two_stream_parity(ref, rng):
+    """XLNet's two-stream (query-stream) attention: our g path against the
+    vendored XLNetModel driven pretraining-style with perm_mask +
+    target_mapping (modeling_xlnet_x.py:346-425). Dead in the MQ backbone
+    (it only runs the single-stream path) but reproduced for full
+    XLNet-stage parity."""
+    import jax
+
+    from vilco_tpu.models.layers import XLRelAttention
+
+    cfgd = dict(attn_type="bi", bi_data=False, clamp_len=-1, d_head=8,
+                d_inner=64, d_model=32, dropout=0.0, ff_activation="gelu",
+                layer_norm_eps=1e-12, mem_len=256, model_type="xlnet",
+                n_head=4, n_layer=1, untie_r=True, reuse_len=None,
+                same_length=False, vocab_size=1000)
+    xl_cfg = ref.modeling.modeling_xlnet_x.XLNetConfig.from_dict(cfgd)
+    model = ref.modeling.modeling_xlnet_x.XLNetModel(xl_cfg).eval()
+
+    B, T, C, MQ = 2, 16, 32, 4
+    x = rng.standard_normal((B, T, C), dtype=np.float32)
+    # perm_mask[b, i, j] = 1 -> query position i may NOT see content j
+    perm = (rng.random((B, T, T)) < 0.3).astype(np.float32)
+    # one-hot query-slot -> sequence-position scatter
+    tm = np.zeros((B, MQ, T), np.float32)
+    for b in range(B):
+        tm[b, np.arange(MQ), rng.choice(T, MQ, replace=False)] = 1.0
+    with torch.no_grad():
+        out = model(inputs_embeds=torch.from_numpy(x),
+                    perm_mask=torch.from_numpy(perm),
+                    target_mapping=torch.from_numpy(tm),
+                    output_hidden_states=True)
+        t_g = _np(out[0])                       # final g stream (B, MQ, C)
+        t_h = _np(out.hidden_states[2])         # final h stream (B, T, C)
+
+    ours = XLRelAttention(d_model=C, n_head=4, d_inner=64, dropout=0.0)
+    mask = np.ones((B, T), bool)
+    tmpl = ours.init(jax.random.PRNGKey(0), x, mask)["params"]
+    params = fill_from_rules(tmpl, _prefixed_sd(model, "m"),
+                             _xl_rules("m.layer.0"))
+    # the model's masks in OUR allow convention: h sees non-permuted
+    # positions plus itself (non_tgt_mask); g sees non-permuted only
+    eye = np.eye(T, dtype=bool)[None]
+    allow_h = (perm == 0) | eye
+    allow_g = perm == 0
+    # initial g = the model's learned mask_emb on every query slot
+    g0 = np.broadcast_to(_np(model.mask_emb).reshape(1, 1, C),
+                         (B, MQ, C)).astype(np.float32)
+    o_h, o_g = ours.apply({"params": params}, x, mask, g=g0,
+                          g_attn_mask=allow_g, h_attn_mask=allow_h,
+                          target_mapping=tm)
+    np.testing.assert_allclose(np.asarray(o_h), t_h, atol=TOL)
+    np.testing.assert_allclose(np.asarray(o_g), t_g, atol=TOL)
+
+
 # ------------------------------------------------- NLQ dual-tower parity
 
 def test_nlq_dual_tower_parity(rng):

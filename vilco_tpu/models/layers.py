@@ -379,9 +379,25 @@ class XLRelAttention(nn.Module):
     chunks: pass `mems` (B, M, C) = the previous chunk's layer INPUT cached
     via `xl_cache_mems`, and keys/values extend over [mems; x] with the
     relative positions shifted accordingly (relative_positional_encoding
-    qlen/klen, modeling_xlnet_x.py:1228). The two-stream (query-stream)
-    attention of XLNet pretraining is out of scope — the reference backbone
-    never invokes it (PARITY.md).
+    qlen/klen, modeling_xlnet_x.py:1228).
+
+    Also supports XLNet's two-stream (query-stream) attention
+    (modeling_xlnet_x.py:346-425): pass `g` (B, Mq, C) — the query-stream
+    hidden states (initially XLNetModel's learned mask_emb broadcast) —
+    plus optionally `target_mapping` (B, Mq, T) one-hot query->position
+    and per-query allow masks. The g stream shares every projection, the
+    post-attention LayerNorm and the FF with the h stream (as in
+    XLNetLayer), and the call returns `(h_out, g_out)`. The reference MQ
+    backbone only ever invokes the single-stream path (PARITY.md); the
+    two-stream core is reproduced for full XLNet-stage parity. Segment
+    attention (seg_mat/r_s_bias) stays out of scope — dead in the
+    reference config (untie_r bi attention, no token_type_ids).
+
+    Mask conventions (OURS, boolean allow-masks — the reference uses
+    float 1=masked): `mask`/`mems_mask` are (B, T)/(B, M) valid-token
+    rows; `h_attn_mask` (B, T, K) and `g_attn_mask` (B, T, K) optionally
+    restrict per-(query, key) attention (K = M + T), e.g. XLNet's
+    perm_mask-derived non_tgt_mask / attn_mask.
     """
 
     d_model: int
@@ -395,7 +411,8 @@ class XLRelAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True, mems=None,
-                 mems_mask=None):
+                 mems_mask=None, g=None, g_attn_mask=None,
+                 target_mapping=None, h_attn_mask=None):
         B, T, C = x.shape
         H = self.n_head
         D = C // H
@@ -440,7 +457,51 @@ class XLRelAttention(nn.Module):
         v = jnp.einsum("btc,chd->bthd", cat, v_w)
         r = jnp.einsum("tc,chd->thd", pos_emb, r_w)
 
-        if self.use_fused and M == 0:
+        def rel_core(qh, allow_qk):
+            # rel_attn_core (modeling_xlnet_x.py:270-320) for a (B, T, H,
+            # D) query head; allow_qk optionally restricts per-(q, k)
+            ac = jnp.einsum("bqhd,bkhd->bhqk",
+                            qh + r_w_bias[None, None], k)
+            bd = jnp.einsum("bqhd,khd->bhqk",
+                            qh + r_r_bias[None, None], r)
+            # rel shift (rel_shift_bnij, modeling_xlnet_x.py:264-276):
+            # shifted[q, k] = bd[q, K + k - q]. The reshape-slice-reshape
+            # form is the TPU-friendly XLA one — an equivalent
+            # take_along_axis gather measured ~100x slower (per-element
+            # gathers don't vectorize on the VPU lanes).
+            bd = bd.reshape(B, H, K + T, T)[:, :, 1:, :]
+            bd = bd.reshape(B, H, T, K + T - 1)[:, :, :, :K]
+
+            att = (ac + bd) * scale
+            allow = kv_mask[:, None, None, :]
+            if allow_qk is not None:
+                allow = allow & allow_qk[:, None]
+            att = jnp.where(allow, att, -1e9)
+            att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+            att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
+            vm = v * kv_mask[:, :, None, None].astype(v.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", att, vm)
+
+        # post-attention projection + FF, module instances shared between
+        # the h and g streams (XLNetLayer applies the same layer_norm/ff
+        # to both, modeling_xlnet_x.py:428-470)
+        ln_attn = nn.LayerNorm(name="ln_attn", dtype=x.dtype)
+        ff1 = nn.Dense(self.d_inner, name="ff1", dtype=x.dtype)
+        ff2 = nn.Dense(self.d_model, name="ff2", dtype=x.dtype)
+        ln_ff = nn.LayerNorm(name="ln_ff", dtype=x.dtype)
+
+        def post(inp, vec):
+            o = jnp.einsum("bqhd,chd->bqc", vec, o_w)
+            o = nn.Dropout(self.dropout)(o, deterministic=deterministic)
+            y = ln_attn(inp + o)
+            f = gelu(ff1(y))
+            f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
+            f = ff2(f)
+            f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
+            return ln_ff(y + f)
+
+        if (self.use_fused and M == 0 and g is None
+                and h_attn_mask is None):
             from vilco_tpu.kernels.xl_attention import xl_rel_attention
 
             rate = 0.0 if deterministic else self.dropout
@@ -454,33 +515,28 @@ class XLRelAttention(nn.Module):
                 q, k, v, r, r_w_bias, r_r_bias, mask, seed, rate
             ).astype(x.dtype)
         else:
-            ac = jnp.einsum("bqhd,bkhd->bhqk", q + r_w_bias[None, None], k)
-            bd = jnp.einsum("bqhd,khd->bhqk", q + r_r_bias[None, None], r)
-            # rel shift (rel_shift_bnij, modeling_xlnet_x.py:264-276):
-            # shifted[q, k] = bd[q, K + k - q]. The reshape-slice-reshape
-            # form is the TPU-friendly XLA one — an equivalent
-            # take_along_axis gather measured ~100x slower (per-element
-            # gathers don't vectorize on the VPU lanes).
-            bd = bd.reshape(B, H, K + T, T)[:, :, 1:, :]
-            bd = bd.reshape(B, H, T, K + T - 1)[:, :, :, :K]
+            out = rel_core(q, h_attn_mask)
+        h_out = post(x, out) * mask[..., None].astype(x.dtype)
+        if g is None:
+            return h_out
 
-            att = (ac + bd) * scale
-            att = jnp.where(kv_mask[:, None, None, :], att, -1e9)
-            att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
-            att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
-            vm = v * kv_mask[:, :, None, None].astype(v.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", att, vm)
-        out = jnp.einsum("bqhd,chd->bqc", out, o_w)
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        x = nn.LayerNorm(name="ln_attn", dtype=x.dtype)(x + out)
-
-        h = nn.Dense(self.d_inner, name="ff1", dtype=x.dtype)(x)
-        h = gelu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, name="ff2", dtype=x.dtype)(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        x = nn.LayerNorm(name="ln_ff", dtype=x.dtype)(x + h)
-        return x * mask[..., None].astype(x.dtype)
+        # g (query) stream: same q projection; with target_mapping the Mq
+        # query slots are scattered onto their sequence positions for the
+        # core and gathered back (modeling_xlnet_x.py:388-407)
+        qg = jnp.einsum("bmc,chd->bmhd", g.astype(x.dtype), q_w)
+        if target_mapping is not None:
+            tm = target_mapping.astype(x.dtype)
+            vec_g = rel_core(jnp.einsum("bmhd,bmt->bthd", qg, tm),
+                             g_attn_mask)
+            vec_g = jnp.einsum("bthd,bmt->bmhd", vec_g, tm)
+        else:
+            if qg.shape[1] != T:
+                raise ValueError(
+                    "two-stream g length must equal T unless a "
+                    "target_mapping scatters the query slots"
+                )
+            vec_g = rel_core(qg, g_attn_mask)
+        return h_out, post(g.astype(x.dtype), vec_g)
 
 
 class Scale(nn.Module):
