@@ -242,7 +242,9 @@ def bench_vq(args):
 
     A = max(args.accum_steps, 1)
     step = make_vq_train_step(model, tx, accumulation_steps=A)
-    # one step consumes A micro-batches of B samples each
+    # one step consumes A micro-batches of B samples each; detail.batch
+    # stays the micro batch (same semantics as the mq/nlq records)
+    micro_b = B
     B = B * A
     batches = [jax.device_put(fresh_batch(), accel) for _ in range(2)]
 
@@ -263,7 +265,7 @@ def bench_vq(args):
             value / REFERENCE_GPU_VQ_SAMPLES_PER_S_ESTIMATE, 3
         ),
         "detail": {
-            "batch": B, "frames": T, "size": S,
+            "batch": micro_b, "frames": T, "size": S,
             "steps": args.steps, "accum_steps": A,
             "step_ms": round(dt / args.steps * 1e3, 2),
             "params_m": round(n_params / 1e6, 1),

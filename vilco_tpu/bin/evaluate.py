@@ -71,7 +71,8 @@ def main(argv=None):
                                         cfg.model.n_txt_in)
             runner = NLQEpisodeRunner(cfg, stream, feat.video,
                                       workdir=args.workdir,
-                                      text_source=feat.text)
+                                      text_source=feat.text,
+                                      persist_config=False)
         else:
             from vilco_tpu.cl.episode import EpisodeRunner
             from vilco_tpu.cl.stream import TaskStream
@@ -81,12 +82,12 @@ def main(argv=None):
             stream = TaskStream(train_t, val_t)
             runner = EpisodeRunner(
                 cfg, stream, SyntheticFeatureSource(cfg.dataset.input_dim),
-                workdir=args.workdir,
+                workdir=args.workdir, persist_config=False,
             )
     else:
         from vilco_tpu.tasks.mq import build_mq_runner
 
-        runner = build_mq_runner(cfg, args.workdir)
+        runner = build_mq_runner(cfg, args.workdir, persist_config=False)
 
     ckpts = sorted(glob.glob(os.path.join(args.workdir, "task_*.ckpt")))
     if not ckpts:

@@ -259,7 +259,9 @@ def main(argv=None):
                                   query_size=args.vq_frame_size)
             if args.vq_window:
                 vqc = vqc.updated(num_frames=args.vq_window)
-        vq_kw = {}
+        # init_rand_seed (and therefore --seed) drives the VQ runner too:
+        # model init, batch order, augmentation, rehearsal memory
+        vq_kw = {"seed": cfg.init_rand_seed}
         if vqc is not None:
             vq_kw.update(
                 model_cfg=vqc, batch_size=vqc.batch_size, lr=vqc.lr,

@@ -63,6 +63,7 @@ def main(argv=None):
     # them so the rebuilt ClipMatcher matches the checkpoint's shapes
     # (e.g. a flagship configs/vq_vilco.yaml run) without re-passing flags
     vq_kw = {}
+    man = None
     manifest_path = os.path.join(args.workdir, "vq_config.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -71,13 +72,12 @@ def main(argv=None):
             from vilco_tpu.core.config import VQCfg
 
             vq_kw["model_cfg"] = VQCfg.from_dict(man["model_cfg"])
-        vq_kw["window"] = man["window"]
-        vq_kw["frame_size"] = man["frame_size"]
         if (args.window != man["window"]
                 or args.frame_size != man["frame_size"]):
             logging.info(
                 "vq_config.json overrides CLI shape: window=%d "
                 "frame_size=%d", man["window"], man["frame_size"])
+        # single override channel: the manifest rewrites the CLI shape
         args.window = man["window"]
         args.frame_size = man["frame_size"]
 
@@ -113,14 +113,19 @@ def main(argv=None):
         runner = VQEpisodeRunner(stream, src, args.workdir,
                                  window=args.window,
                                  frame_size=args.frame_size,
-                                 **{k: v for k, v in vq_kw.items()
-                                    if k == "model_cfg"})
+                                 persist_config=False, **vq_kw)
     else:
         rng = np.random.default_rng(0)
         train, val = make_synthetic_vq_split(rng, num_tasks=args.num_tasks)
         stream = VQTaskStream(train, val)
-        src = SyntheticVQSource(frame_size=vq_kw.get("frame_size", 32))
-        runner = VQEpisodeRunner(stream, src, args.workdir, **vq_kw)
+        # without a manifest the synthetic path keeps the tiny default
+        # geometry (the CLI's 448/30 defaults describe flagship real data)
+        syn_fs = args.frame_size if man else 32
+        syn_win = args.window if man else 4
+        src = SyntheticVQSource(frame_size=syn_fs)
+        runner = VQEpisodeRunner(stream, src, args.workdir,
+                                 window=syn_win, frame_size=syn_fs,
+                                 persist_config=False, **vq_kw)
 
     ckpts = sorted(glob.glob(os.path.join(args.workdir, "vq_task_*.ckpt")))
     if ckpts:

@@ -77,6 +77,7 @@ class EpisodeRunner:
         text_source: Optional[Callable] = None,
         narration_source: Optional[Callable] = None,
         shard: tuple = (0, 1),
+        persist_config: bool = True,
     ):
         self.cfg = cfg
         self.stream = stream
@@ -93,10 +94,12 @@ class EpisodeRunner:
         # the gradient psum — the DDP the reference comments out)
         self.mesh = None
         os.makedirs(workdir, exist_ok=True)
-        if jax.process_index() == 0:
+        if persist_config and jax.process_index() == 0:
             # persist the resolved config so bin/evaluate.py can rebuild
             # the exact model/stream without the original CLI invocation
-            # (the reference requires re-passing the yaml to eval.py)
+            # (the reference requires re-passing the yaml to eval.py).
+            # Eval-only CLIs pass persist_config=False so re-evaluating a
+            # workdir never clobbers the training run's record.
             with open(os.path.join(workdir, "config.json"), "w") as f:
                 json.dump(cfg.to_dict(), f, indent=2)
 

@@ -135,6 +135,11 @@ def init_distributed() -> tuple:
         n = os.environ.get("JAX_NUM_PROCESSES")
         i = os.environ.get("JAX_PROCESS_ID")
         kwargs = {}
+        if (n is None) != (i is None):
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES and JAX_PROCESS_ID must be set as a "
+                f"pair (got JAX_NUM_PROCESSES={n!r}, JAX_PROCESS_ID={i!r})"
+            )
         if n is not None and i is not None:
             kwargs = dict(num_processes=int(n), process_id=int(i))
         try:

@@ -95,7 +95,8 @@ class MQNarrationSource:
         return np.concatenate(feats, axis=0)
 
 
-def build_mq_runner(cfg: Config, workdir: str) -> EpisodeRunner:
+def build_mq_runner(cfg: Config, workdir: str,
+                    persist_config: bool = True) -> EpisodeRunner:
     """Wire up the real-data MQ episode from a config (bin/train_cl.py's
     non-synthetic path for MQ)."""
     from vilco_tpu.cl.stream import TaskStream
@@ -117,4 +118,5 @@ def build_mq_runner(cfg: Config, workdir: str) -> EpisodeRunner:
     return EpisodeRunner(
         cfg, stream, src, workdir=workdir,
         text_source=text_source, narration_source=narration_source,
+        persist_config=persist_config,
     )

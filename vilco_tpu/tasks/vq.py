@@ -199,7 +199,7 @@ class VQEpisodeRunner:
                  model_cfg=None, vit_ckpt: str = "",
                  weight_decay: float = 1e-4,
                  positive_threshold: float = 0.2, positive_topk: int = 5,
-                 accumulation_steps: int = 1):
+                 accumulation_steps: int = 1, persist_config: bool = True):
         self.stream = stream
         self.source = source
         self.workdir = workdir
@@ -247,10 +247,12 @@ class VQEpisodeRunner:
                 num_transformer=1, window_transformer=5,
                 num_frames=window, use_fused=use_fused,
             )
-        if jax.process_index() == 0:
+        if persist_config and jax.process_index() == 0:
             # persist the model-defining settings so bin/vq_infer.py can
             # rebuild the exact ClipMatcher shape from the workdir alone
-            # (the reference re-reads its global yaml config at inference)
+            # (the reference re-reads its global yaml config at inference).
+            # bin/vq_infer.py passes persist_config=False so inference on a
+            # pre-existing workdir never rewrites the training geometry.
             with open(os.path.join(workdir, "vq_config.json"), "w") as f:
                 json.dump({
                     "window": self.window,
