@@ -190,3 +190,54 @@ def test_runner_end_to_end_on_frame_dir(tmp_path):
     assert len(out["tasks"]) == 1
     m = out["final"]
     assert np.isfinite(m["avg_tAP25"]) and np.isfinite(m["avg_success"])
+
+
+def test_denormalize_track_box_roundtrip():
+    from vilco_tpu.data.vq_frames import denormalize_track_box
+
+    for (x, y, bw, bh) in [(0, 0, W, H), (10, 14, 16, 16), (50, 30, 14, 18)]:
+        norm = normalize_track_box(_box_entry(0, x, y, bw, bh))
+        x1, y1, x2, y2 = denormalize_track_box(norm, H, W)
+        np.testing.assert_allclose([x1, y1, x2, y2],
+                                   [x, y, x + bw, y + bh], atol=1e-6)
+    # out-of-band coords (model predicted into the padding) clamp to the
+    # original frame like the reference's process_bbox_prediction
+    x1, y1, x2, y2 = denormalize_track_box([0.0, 0.0, 1.0, 1.0], H, W)
+    assert (x1, y1, x2, y2) == (0.0, 0.0, float(W), float(H))
+
+
+@pytest.mark.slow
+def test_vq_submission_cli(tmp_path):
+    """--submission writes the official ego4d_vq2d_challenge file: every
+    query_set of the raw json present, predicted bboxes in original-pixel
+    ints, unknown/invalid queries empty (inference_results.py:88-115)."""
+    from vilco_tpu.bin import vq_infer
+
+    anno_path, images_dir, _ = _write_dataset(tmp_path)
+    sub_path = tmp_path / "sub.json"
+    vq_infer.main([
+        "--workdir", str(tmp_path / "work"),
+        "--annotations", str(anno_path),
+        "--images-dir", str(images_dir),
+        "--frame-size", str(FRAME_SIZE), "--window", "4",
+        "--categories-per-task", "1",
+        "--submission", str(sub_path),
+    ])
+    sub = json.loads(sub_path.read_text())
+    assert sub["challenge"] == "ego4d_vq2d_challenge"
+    assert set(sub) >= {"version", "challenge", "results"}
+    vids = sub["results"]["videos"]
+    assert vids[0]["video_uid"] == "vid-1"
+    preds = vids[0]["clips"][0]["predictions"][0]
+    assert preds["annotation_uid"] == "anno-1"
+    qs = preds["query_sets"]
+    assert set(qs) == {"1", "2"}
+    # the invalid query gets the reference's empty entry
+    assert qs["2"] == {"bboxes": [], "score": 0.0}
+    assert len(qs["1"]["bboxes"]) >= 1
+    for b in qs["1"]["bboxes"]:
+        assert set(b) == {"fno", "x1", "x2", "y1", "y2"}
+        assert all(isinstance(b[k], int) for k in b)
+        assert 0 <= b["x1"] <= b["x2"] <= W
+        assert 0 <= b["y1"] <= b["y2"] <= H
+        assert 0 <= b["fno"] < N_FRAMES

@@ -44,7 +44,15 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=30)
     p.add_argument("--categories-per-task", type=int, default=400,
                    help="QIL grouping (scripts/split_vq.py: 5 x ~400)")
+    p.add_argument("--submission",
+                   help="also write the official ego4d_vq2d_challenge "
+                        "prediction file (the reference's "
+                        "inference_results.py output) to this path; "
+                        "requires --annotations")
     args = p.parse_args(argv)
+    if args.submission and not args.annotations:
+        p.error("--submission requires --annotations (the raw Ego4D json "
+                "provides the videos->clips->query_sets structure)")
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
 
     import numpy as np
@@ -136,6 +144,16 @@ def main(argv=None):
         j = stream.num_tasks - 1
 
     results = runner.evaluate(j)
+    if args.submission:
+        from vilco_tpu.tasks.vq import build_vq_submission
+
+        with open(args.annotations) as f:
+            raw = json.load(f)
+        sub = build_vq_submission(runner, raw)
+        with open(args.submission, "w") as f:
+            json.dump(sub, f)
+        logging.info("wrote %s submission to %s",
+                     sub["challenge"], args.submission)
     print(json.dumps(results, indent=2, default=float))
     return results
 

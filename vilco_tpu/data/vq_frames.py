@@ -87,6 +87,23 @@ def normalize_track_box(box: dict) -> List[float]:
             y1 + float(box["height"]) / s]
 
 
+def denormalize_track_box(b: Sequence[float], oheight: float,
+                          owidth: float) -> List[float]:
+    """Inverse of `normalize_track_box`: padded-square-normalized xyxy ->
+    ORIGINAL-resolution pixel xyxy, clamped to the unpadded frame (the
+    reference's process_bbox_prediction + recover_bbox,
+    VQ/evaluation/task_inference_predict.py:236-269 — same clamp-to-band
+    then scale, without the torch/cv2 axis swap our convention avoids)."""
+    s = float(max(oheight, owidth))
+    dx, dy = (s - owidth) / 2.0, (s - oheight) / 2.0
+    return [
+        min(max(b[0] * s - dx, 0.0), float(owidth)),
+        min(max(b[1] * s - dy, 0.0), float(oheight)),
+        min(max(b[2] * s - dx, 0.0), float(owidth)),
+        min(max(b[3] * s - dy, 0.0), float(oheight)),
+    ]
+
+
 def clean_box_flags(track: Dict[int, List[float]],
                     original_hw: Sequence[float],
                     min_size: float = 0.05,

@@ -578,3 +578,64 @@ class VQEpisodeRunner:
             )
         results["final"] = results["tasks"][-1]["eval"]
         return results
+
+
+def build_vq_submission(runner: "VQEpisodeRunner",
+                        annotations: dict) -> dict:
+    """Official ego4d_vq2d_challenge prediction file.
+
+    Walks the raw Ego4D annotation structure videos -> clips ->
+    annotations -> query_sets exactly like the reference's
+    format_predictions (VQ/inference_results.py:88-115), predicts a
+    response track for every query the runner's stream knows, and emits
+    bboxes converted back to ORIGINAL-resolution pixel coordinates
+    (denormalize_track_box; the reference's process_bbox_prediction,
+    VQ/evaluation/task_inference_predict.py:236-269). Unknown / invalid
+    queries get the reference's empty entry {"bboxes": [], "score": 0.0}.
+    """
+    from vilco_tpu.data.vq_frames import denormalize_track_box
+
+    by_key = {}
+    for i in range(runner.stream.num_tasks):
+        for s in runner.stream.val_videos_task(i):
+            if s.get("annotation_uid") is not None:
+                by_key[(s["annotation_uid"], s.get("query_set"))] = s
+    fs = float(runner.frame_size)
+    results = {"videos": []}
+    for v in annotations.get("videos", []):
+        vp = {"video_uid": v.get("video_uid"), "clips": []}
+        for c in v.get("clips", []):
+            cp = {"clip_uid": c.get("clip_uid"), "predictions": []}
+            for a in c.get("annotations", []):
+                auid = a.get("annotation_uid")
+                apred = {"query_sets": {}, "annotation_uid": auid}
+                for qid in a.get("query_sets", {}):
+                    s = by_key.get((auid, qid))
+                    if s is None:
+                        apred["query_sets"][qid] = {"bboxes": [],
+                                                    "score": 0.0}
+                        continue
+                    rt = runner.predict_track(s)
+                    oh, ow = s["original_hw"]
+                    bbs = []
+                    for b in rt.bboxes:
+                        x1, y1, x2, y2 = denormalize_track_box(
+                            [b.x1 / fs, b.y1 / fs, b.x2 / fs, b.y2 / fs],
+                            oh, ow,
+                        )
+                        bbs.append({"fno": int(b.fno),
+                                    "x1": int(x1), "x2": int(x2),
+                                    "y1": int(y1), "y2": int(y2)})
+                    apred["query_sets"][qid] = {
+                        "bboxes": bbs,
+                        "score": (float(rt.score)
+                                  if rt.score is not None else 0.0),
+                    }
+                cp["predictions"].append(apred)
+            vp["clips"].append(cp)
+        results["videos"].append(vp)
+    return {
+        "version": annotations.get("version", "1.0"),
+        "challenge": "ego4d_vq2d_challenge",
+        "results": results,
+    }
