@@ -65,3 +65,41 @@ def test_seed_flag_persists_and_changes_the_run(tmp_path):
     a = runs[0]["tasks"][0]["train"]["last_metrics"]["final_loss"]
     b = runs[7]["tasks"][0]["train"]["last_metrics"]["final_loss"]
     assert a != b
+
+
+@pytest.mark.slow
+def test_nlq_submission_and_ensemble_chain(tmp_path):
+    """evaluate --submission writes the official ego4d_nlq_challenge file
+    (NLQ/evaluate_ego4d_nlq.py:116-128 record shape) and the per-model
+    files feed bin/ensemble.py end-to-end."""
+    from vilco_tpu.bin import ensemble
+
+    wd = str(tmp_path / "nlq")
+    train_cl.main([
+        "--synthetic", "--task", "nlq", "--workdir", wd,
+        "--epochs", "1", "--num-tasks", "2",
+    ])
+    sub_path = tmp_path / "pred_a.json"
+    evaluate.main(["--workdir", wd, "--synthetic", "--task", "nlq",
+                   "--submission", str(sub_path)])
+    sub = json.loads(sub_path.read_text())
+    assert sub["version"] == "1.0"
+    assert sub["challenge"] == "ego4d_nlq_challenge"
+    assert len(sub["results"]) > 0
+    for rec in sub["results"]:
+        assert set(rec) == {"clip_uid", "annotation_uid", "query_idx",
+                            "predicted_times"}
+        for t in rec["predicted_times"]:
+            assert len(t) == 3 and t[0] <= t[1]  # [start, end, score]
+        # score-sorted proposals
+        scores = [t[2] for t in rec["predicted_times"]]
+        assert scores == sorted(scores, reverse=True)
+
+    # two "models" (same file twice) through the official ensemble fusion
+    out_path = tmp_path / "ensemble.json"
+    ensemble.main([str(sub_path), str(sub_path), "--out", str(out_path)])
+    fused = json.loads(out_path.read_text())
+    assert fused["challenge"] == "ego4d_nlq_challenge"
+    assert len(fused["results"]) == len(sub["results"])
+    for rec in fused["results"]:
+        assert len(rec["predicted_times"]) == 5  # exactly-5 spans

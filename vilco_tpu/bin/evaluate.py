@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--task-idx", type=int, default=None,
                    help="evaluate as of this task (default: latest ckpt)")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--submission",
+                   help="(NLQ) also write the official ego4d_nlq_challenge "
+                        "prediction file to this path; per-model files "
+                        "feed bin/ensemble.py")
     args = p.parse_args(argv)
 
     import logging
@@ -102,6 +106,19 @@ def main(argv=None):
     mem_path = os.path.join(args.workdir, cfg.cl_cfg.path_memory)
     if os.path.exists(mem_path):
         runner.memory.load(mem_path)
+
+    if args.submission:
+        if not hasattr(runner, "predict_submission"):
+            raise SystemExit("--submission is an NLQ feature "
+                             "(use --task nlq)")
+        with open(args.submission, "w") as f:
+            json.dump({
+                "version": "1.0",
+                "challenge": "ego4d_nlq_challenge",
+                "results": runner.predict_submission(j),
+            }, f)
+        logging.getLogger("vilco.evaluate").info(
+            "wrote ego4d_nlq_challenge submission to %s", args.submission)
 
     results = runner.evaluate(j)
     out = {k: v for k, v in results.items() if k != "per_task"}

@@ -122,6 +122,36 @@ class NLQEpisodeRunner(EpisodeRunner):
 
         return jnp.ones((self.num_classes,), bool)
 
+    def predict_submission(self, j: int, topk: int = 5) -> List[dict]:
+        """Official ego4d_nlq_challenge `results` records for every val
+        query of tasks 0..j: {clip_uid, annotation_uid, query_idx,
+        predicted_times: [[start_s, end_s, score], ...]} — the format the
+        official scorer consumes (NLQ/evaluate_ego4d_nlq.py:84-96) and
+        NLQ/ensemble.py fuses across models (our bin/ensemble.py reads
+        these files directly)."""
+        class_mask = self._class_mask(j)
+        records = []
+        for i in range(j + 1):
+            videos = self.stream.val_videos_task(i)
+            preds = self.predict_videos(videos, class_mask)
+            for v in videos:
+                clip_uid, anno_uid, q_idx = v["query_key"]
+                p = preds.get(v["id"])
+                times = []
+                if p is not None:
+                    # decode emits score-sorted proposals
+                    for seg, sc in zip(p["segments"][:topk],
+                                       p["scores"][:topk]):
+                        times.append([float(seg[0]), float(seg[1]),
+                                      float(sc)])
+                records.append({
+                    "clip_uid": clip_uid,
+                    "annotation_uid": anno_uid,
+                    "query_idx": int(q_idx),
+                    "predicted_times": times,
+                })
+        return records
+
     def evaluate(self, j: int, update_bwf: bool = True) -> Dict:
         class_mask = self._class_mask(j)
         per_task = []
