@@ -103,3 +103,29 @@ def test_nlq_submission_and_ensemble_chain(tmp_path):
     assert len(fused["results"]) == len(sub["results"])
     for rec in fused["results"]:
         assert len(rec["predicted_times"]) == 5  # exactly-5 spans
+
+
+@pytest.mark.slow
+def test_mq_submission_dump(tmp_path):
+    """evaluate --submission for MQ writes the reference's test-set dump
+    shape (train_utils.py:876-895): results keyed by video with label
+    NAMES from the activity index."""
+    wd = str(tmp_path / "mq")
+    train_cl.main(["--synthetic", "--workdir", wd, "--epochs", "1",
+                   "--num-tasks", "2"])
+    sub_path = tmp_path / "mq_sub.json"
+    evaluate.main(["--workdir", wd, "--synthetic",
+                   "--submission", str(sub_path)])
+    sub = json.loads(sub_path.read_text())
+    assert set(sub) == {"version", "external_data", "results"}
+    assert sub["results"], "no videos predicted"
+    with open(f"{wd}/config.json") as f:
+        n_classes = json.load(f)["model"]["num_classes"]
+    for vid, dets in sub["results"].items():
+        for d in dets:
+            assert set(d) == {"segment", "score", "label"}
+            assert d["segment"][0] <= d["segment"][1]
+            # label is the activity-index NAME (synthetic names are the
+            # class ints), never an out-of-range raw index
+            assert isinstance(d["label"], str)
+            assert int(d["label"]) < n_classes

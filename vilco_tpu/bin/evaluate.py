@@ -27,9 +27,10 @@ def main(argv=None):
                    help="evaluate as of this task (default: latest ckpt)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--submission",
-                   help="(NLQ) also write the official ego4d_nlq_challenge "
-                        "prediction file to this path; per-model files "
-                        "feed bin/ensemble.py")
+                   help="also write the official prediction file to this "
+                        "path: Ego4D-MQ submission.json for mq, "
+                        "ego4d_nlq_challenge for nlq (per-model files "
+                        "feed bin/ensemble.py)")
     args = p.parse_args(argv)
 
     import logging
@@ -108,17 +109,14 @@ def main(argv=None):
         runner.memory.load(mem_path)
 
     if args.submission:
-        if not hasattr(runner, "predict_submission"):
-            raise SystemExit("--submission is an NLQ feature "
-                             "(use --task nlq)")
+        sub = runner.predict_submission(j)
+        if isinstance(sub, list):  # NLQ records take the challenge wrapper
+            sub = {"version": "1.0", "challenge": "ego4d_nlq_challenge",
+                   "results": sub}
         with open(args.submission, "w") as f:
-            json.dump({
-                "version": "1.0",
-                "challenge": "ego4d_nlq_challenge",
-                "results": runner.predict_submission(j),
-            }, f)
+            json.dump(sub, f)
         logging.getLogger("vilco.evaluate").info(
-            "wrote ego4d_nlq_challenge submission to %s", args.submission)
+            "wrote submission to %s", args.submission)
 
     results = runner.evaluate(j)
     out = {k: v for k, v in results.items() if k != "per_task"}

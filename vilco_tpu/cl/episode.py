@@ -592,6 +592,30 @@ class EpisodeRunner:
                 }
         return preds
 
+    def predict_submission(self, j: int) -> dict:
+        """Official Ego4D-MQ submission dump: {"version", "external_data",
+        "results": {video_id: [{"segment": [s, e], "score", "label"}]}}
+        with label NAMES mapped back through the activity index — the
+        reference's test-set writer (MQ/libs/utils/train_utils.py:876-895,
+        which hardcodes the 110-class Ego4D-MQ dict; ours inverts the
+        stream's own index so any TAL dataset works)."""
+        if self.method == "icarl" and self.memory.n_known > 0:
+            self._refresh_exemplar_means()
+        class_mask = self._class_mask(j)
+        preds = self.predict_videos(self.stream.val_videos_upto(j),
+                                    class_mask)
+        inv = {v: k for k, v in self.cl_gt[j]["activity_index"].items()}
+        results = {}
+        for vid, p in preds.items():
+            results[vid] = [
+                {"segment": [float(s[0]), float(s[1])],
+                 "score": float(sc),
+                 "label": str(inv.get(int(lb), int(lb)))}
+                for s, sc, lb in zip(p["segments"], p["scores"],
+                                     p["labels"])
+            ]
+        return {"version": "1.0", "external_data": "", "results": results}
+
     def evaluate(self, j: int, update_bwf: bool = True) -> Dict:
         """Cumulative per-task eval + BwF (final_validate,
         MQ/libs/utils/train_utils.py:1176-1349)."""
