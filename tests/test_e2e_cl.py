@@ -180,3 +180,21 @@ def test_episode_vilco_full_method(tmp_path):
     assert "prompt" in runner.params
     m = results["tasks"][-1]["train"]["last_metrics"]
     assert "ssl_loss" in m and "reduce_sim" in m
+
+
+def test_metrics_logger_tensorboard_mirror(tmp_path, monkeypatch):
+    """--tensorboard mirrors scalars as TB events (the reference's
+    SummaryWriter, MQ/train_cl.py:74-75); JSONL stays the source of
+    truth."""
+    pytest.importorskip("torch.utils.tensorboard")
+    import os
+
+    from vilco_tpu.core.logging import MetricsLogger
+
+    tb_dir = str(tmp_path / "logs")
+    ml = MetricsLogger(str(tmp_path / "m.jsonl"), tensorboard_dir=tb_dir)
+    ml.log("train_epoch", step=3, loss=1.5, note="text-skipped")
+    ml.close()
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, os.listdir(tb_dir)
+    assert os.path.getsize(os.path.join(tb_dir, events[0])) > 0

@@ -90,6 +90,10 @@ def main(argv=None):
                    help="override config.init_rand_seed (model init, data "
                         "order, synthetic fixtures) — the reference's "
                         "fix_random_seed knob, for paired quality sweeps")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror scalar metrics to TensorBoard events in "
+                        "{workdir}/logs (the reference's SummaryWriter, "
+                        "MQ/train_cl.py:74-75) alongside the JSONL stream")
     # real-data VQ sources (data/vq_frames.py)
     p.add_argument("--vq-annotations", default=None,
                    help="Ego4D vq_train.json (with --task vq)")
@@ -122,6 +126,10 @@ def main(argv=None):
     p.add_argument("--nlq-text-dir", default=None,
                    help="dir of {query_id}.npz (import_lmdb unpack output)")
     args = p.parse_args(argv)
+    if args.tensorboard:
+        # picked up by MetricsLogger in whichever runner gets built
+        os.environ["VILCO_TENSORBOARD_DIR"] = os.path.join(
+            args.workdir, "logs")
 
     logging.basicConfig(
         level=logging.INFO,

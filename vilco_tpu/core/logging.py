@@ -18,12 +18,29 @@ from typing import Any, Dict, Optional
 
 class MetricsLogger:
     """Append-only JSONL metrics stream: one record per event with a
-    monotonic step and wall-clock timestamp."""
+    monotonic step and wall-clock timestamp.
 
-    def __init__(self, path: str):
+    Optionally mirrors scalar values to TensorBoard (the reference logs
+    through torch.utils.tensorboard, MQ/train_cl.py:74-75): pass
+    `tensorboard_dir` or set VILCO_TENSORBOARD_DIR (train_cl's
+    --tensorboard flag does the latter). Silently disabled when no
+    SummaryWriter implementation is importable — the JSONL stream is the
+    source of truth either way."""
+
+    def __init__(self, path: str, tensorboard_dir: str = None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._f = open(path, "a", buffering=1)
         self._t0 = time.time()
+        self._tb = None
+        tensorboard_dir = tensorboard_dir or os.environ.get(
+            "VILCO_TENSORBOARD_DIR")
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tensorboard_dir)
+            except ImportError:
+                pass
 
     def log(self, kind: str, step: int = 0, **values):
         rec = {"kind": kind, "step": int(step),
@@ -34,8 +51,14 @@ class MetricsLogger:
             except (TypeError, ValueError):
                 rec[k] = v
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("kind", "step", "t") and isinstance(v, float):
+                    self._tb.add_scalar(f"{kind}/{k}", v, rec["step"])
 
     def close(self):
+        if self._tb is not None:
+            self._tb.close()
         self._f.close()
 
 
