@@ -62,6 +62,10 @@ def main(argv=None):
         cfg = tiny_config()
 
     task = args.task or cfg.task
+    if task == "vq":
+        p.error("VQ checkpoints are evaluated by the sliding-window "
+                "inference pipeline: python -m vilco_tpu.bin.vq_infer "
+                f"--workdir {args.workdir} (MIGRATION.md)")
     if args.synthetic:
         rng = np.random.default_rng(cfg.init_rand_seed)
         if task == "nlq":
