@@ -533,8 +533,35 @@ def run_one(args):
     }
 
 
+def _start_watchdog():
+    """Abort (exit 3) instead of hanging forever when the TPU tunnel
+    wedges mid-run: remote dispatch through the axon tunnel can stall
+    indefinitely (observed: a bench process idle for 45+ min with no
+    output), and a hung bench is worse for the caller than a failed one.
+    Deadline covers worst-case remote compile (~15 min) + the measured
+    run with margin; override with VILCO_BENCH_WATCHDOG_S (0 disables)."""
+    import threading
+
+    limit = float(os.environ.get("VILCO_BENCH_WATCHDOG_S", 2400))
+    if limit <= 0:
+        return None
+
+    def expire():
+        import sys
+
+        print(f"bench watchdog: no completion within {limit:.0f}s — "
+              "TPU tunnel stalled? aborting", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(limit, expire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main(argv=None):
     args = parse_args(argv)
+    _start_watchdog()
     if args.all and args.eval:
         raise SystemExit("--all benches the TRAIN step of all three "
                          "models; --eval is per-model (drop --all)")
