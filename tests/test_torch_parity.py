@@ -21,6 +21,7 @@ from tests._reference import load_reference_mq
 from vilco_tpu.models.torch_import import (
     _block_rules,
     _cln_rules,
+    _id,
     _masked_conv_rules,
     _xl_rules,
     fill_from_rules,
@@ -601,3 +602,162 @@ def test_vq_encoder_layer_parity(rng):
                               "bias": sd[f"norm{i}.bias"]}
     out = ours.apply({"params": params}, x, jnp.asarray(amask))
     np.testing.assert_allclose(np.asarray(out), _np(tout), atol=TOL)
+
+
+# ------------------------------------------- dead-parity aux blocks
+# (shipped in the reference but unused by every ViLCo config; see
+#  vilco_tpu/models/aux_blocks.py docstring)
+
+def _conv1d_w(w):
+    """torch Conv1d (C_out, C_in/groups, k) -> flax (k, C_in/groups, C_out)."""
+    return w.transpose(2, 1, 0)
+
+
+def _randomize(module):
+    with torch.no_grad():
+        for p in module.parameters():
+            p.normal_(0.0, 0.5)
+
+
+@pytest.mark.parametrize("stride,ds_type,pdrop", [
+    (1, "max", 0.0), (2, "max", 0.0), (2, "avg", 0.2),
+])
+def test_sgp_block_parity(ref, rng, stride, ds_type, pdrop):
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.models.aux_blocks import SGPBlock
+
+    C, T = 32, 16
+    t = ref.modeling.blocks.SGPBlock(
+        C, kernel_size=3, n_ds_stride=stride, path_pdrop=pdrop,
+        downsample_type=ds_type, init_conv_vars=1).eval()
+    _randomize(t)
+    sd = state_dict_to_numpy(t)
+
+    x = rng.standard_normal((2, T, C), dtype=np.float32)
+    mask = _mask_np(2, T, [T, T - 5])
+    with torch.no_grad():
+        tout, tmask = t(torch.from_numpy(x.transpose(0, 2, 1)),
+                        torch.from_numpy(mask[:, None]))
+
+    ours = SGPBlock(n_ds_stride=stride, path_pdrop=pdrop,
+                    downsample_type=ds_type)
+    tmpl = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                     jnp.asarray(mask))["params"]
+    rules = {"ln/weight": ("ln.weight", lambda w: w.reshape(-1)),
+             "ln/bias": ("ln.bias", lambda w: w.reshape(-1)),
+             "gn/scale": ("gn.weight", _id),
+             "gn/bias": ("gn.bias", _id),
+             "mlp_fc1/kernel": ("mlp.0.weight", _conv1d_w),
+             "mlp_fc1/bias": ("mlp.0.bias", _id),
+             "mlp_fc2/kernel": ("mlp.2.weight", _conv1d_w),
+             "mlp_fc2/bias": ("mlp.2.bias", _id)}
+    for n in ("psi", "fc", "convw", "convkw", "global_fc"):
+        rules[f"{n}/conv/kernel"] = (f"{n}.weight", _conv1d_w)
+        rules[f"{n}/conv/bias"] = (f"{n}.bias", _id)
+    if ds_type == "avg" and stride > 1:
+        rules["ds_conv/kernel"] = ("downsample.1.weight", _conv1d_w)
+        rules["ds_conv/bias"] = ("downsample.1.bias", _id)
+    if pdrop > 0:
+        for n in ("drop_path_out", "drop_path_mlp"):
+            rules[f"{n}/scale"] = (
+                f"{n}.scale", lambda w: w.transpose(0, 2, 1))
+    params = fill_from_rules(tmpl, sd, rules)
+    out, omask = ours.apply({"params": params}, jnp.asarray(x),
+                            jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out),
+                               _np(tout).transpose(0, 2, 1), atol=TOL)
+    np.testing.assert_array_equal(np.asarray(omask),
+                                  _np(tmask)[:, 0].astype(bool))
+
+
+def test_cxam_cnam_parity(ref, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.models.aux_blocks import CnAM, CxAM
+
+    C, T = 16, 12
+    x = rng.standard_normal((2, T, C), dtype=np.float32)
+    init = rng.standard_normal((2, T, C), dtype=np.float32)
+    xt = torch.from_numpy(x.transpose(0, 2, 1))
+    it = torch.from_numpy(init.transpose(0, 2, 1))
+
+    def dense_rules(sd):
+        r = {}
+        for ours_n, ref_n in (("query", "query_conv"), ("key", "key_conv"),
+                              ("value", "value_conv")):
+            r[f"{ours_n}/kernel"] = (
+                f"{ref_n}.weight", lambda w: w[:, :, 0].T)
+            r[f"{ours_n}/bias"] = (f"{ref_n}.bias", _id)
+        return r
+
+    t = ref.modeling.utils.CxAM(C, C).eval()
+    _randomize(t)
+    with torch.no_grad():
+        tout = t(xt)
+    ours = CxAM()
+    tmpl = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = fill_from_rules(tmpl, state_dict_to_numpy(t), dense_rules(t))
+    out = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out),
+                               _np(tout).transpose(0, 2, 1), atol=TOL)
+
+    t2 = ref.modeling.utils.CnAM(C, C).eval()
+    _randomize(t2)
+    with torch.no_grad():
+        tout2 = t2(xt, it)
+    ours2 = CnAM()
+    tmpl2 = ours2.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(init))["params"]
+    params2 = fill_from_rules(tmpl2, state_dict_to_numpy(t2),
+                              dense_rules(t2))
+    out2 = ours2.apply({"params": params2}, jnp.asarray(x),
+                       jnp.asarray(init))
+    np.testing.assert_allclose(np.asarray(out2),
+                               _np(tout2).transpose(0, 2, 1), atol=TOL)
+
+
+def test_acconv_denseapp_parity(ref, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.models.aux_blocks import ACConv
+
+    C, T = 64, 32
+    t = ref.modeling.utils.ACConv(C, C).eval()
+    _randomize(t)
+    sd = state_dict_to_numpy(t)
+
+    x = rng.standard_normal((2, T, C), dtype=np.float32)
+    mask = _mask_np(2, T, [T, T - 7])
+    with torch.no_grad():
+        tout, tmask = t(torch.from_numpy(x.transpose(0, 2, 1)),
+                        torch.from_numpy(mask[:, None]))
+
+    ours = ACConv()
+    tmpl = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                     jnp.asarray(mask))["params"]
+    rules = {}
+    for rate in (3, 6, 12, 18, 24):
+        p, q = f"denseapp/aspp{rate}", f"denseapp.aspp{rate}"
+        rules[f"{p}/conv1x1/kernel"] = (f"{q}.conv1x1.weight", _conv1d_w)
+        rules[f"{p}/conv1x1/bias"] = (f"{q}.conv1x1.bias", _id)
+        rules[f"{p}/gn/scale"] = (f"{q}.ConvGN.weight", _id)
+        rules[f"{p}/gn/bias"] = (f"{q}.ConvGN.bias", _id)
+        rules[f"{p}/dilaconv/kernel"] = (f"{q}.dilaconv.weight", _conv1d_w)
+        rules[f"{p}/dilaconv/bias"] = (f"{q}.dilaconv.bias", _id)
+    rules["denseapp/conv1x1/kernel"] = ("denseapp.conv1x1.weight", _conv1d_w)
+    rules["denseapp/conv1x1/bias"] = ("denseapp.conv1x1.bias", _id)
+    rules["denseapp/gn/scale"] = ("denseapp.ConvGN.weight", _id)
+    rules["denseapp/gn/bias"] = ("denseapp.ConvGN.bias", _id)
+    # the torch ACConv also holds never-applied CxAM/CnAM params
+    # (utils.py:744-748) — covered standalone in test_cxam_cnam_parity
+    params = fill_from_rules(tmpl, sd, rules)
+    out, omask = ours.apply({"params": params}, jnp.asarray(x),
+                            jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out),
+                               _np(tout).transpose(0, 2, 1), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(omask),
+                                  _np(tmask)[:, 0].astype(bool))

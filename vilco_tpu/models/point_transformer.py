@@ -56,16 +56,28 @@ class FPNIdentity(nn.Module):
 
 class FPN1D(nn.Module):
     """Top-down FPN (necks.py:12-107): lateral 1x1 convs + nearest-upsample
-    merge + 3x3 output convs."""
+    merge + 3x3 output convs. The reference routes the TOP pyramid level
+    through ACConv (DenseAPP dilated pyramid) instead of a lateral conv
+    (necks.py:42,78-80) — which assumes in==out channels there; reproduced
+    behind `use_acconv` (on by default like the reference; this neck is
+    dead in every shipped config, which all use fpn_type=identity)."""
 
     out_channel: int
     with_ln: bool = True
+    use_acconv: bool = True
 
     @nn.compact
-    def __call__(self, feats, masks):
+    def __call__(self, feats, masks, deterministic: bool = True):
+        from vilco_tpu.models.aux_blocks import ACConv
+
         laterals = []
         for i, (f, m) in enumerate(zip(feats, masks)):
-            l, _ = MaskedConv(self.out_channel, 1, name=f"lateral_{i}")(f, m)
+            if self.use_acconv and i == len(feats) - 1:
+                l, _ = ACConv(name="ac_conv")(
+                    f, m, deterministic=deterministic)
+            else:
+                l, _ = MaskedConv(self.out_channel, 1,
+                                  name=f"lateral_{i}")(f, m)
             laterals.append(l)
         # top-down: upsample level i+1 into level i
         for i in range(len(laterals) - 2, -1, -1):
@@ -260,7 +272,7 @@ class PointTransformer(nn.Module):
         else:
             fpn_feats, fpn_masks = FPN1D(
                 cfg.fpn_dim, with_ln=cfg.fpn_with_ln, name="neck"
-            )(bb_feats, bb_masks)
+            )(bb_feats, bb_masks, deterministic=deterministic)
         fpn_feats = fpn_feats[cfg.fpn_start_level:]
         fpn_masks = fpn_masks[cfg.fpn_start_level:]
 
