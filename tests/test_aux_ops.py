@@ -309,3 +309,73 @@ def test_vq_crop_invalidates_out_of_frame_boxes():
         ob = np.asarray(out_bbox)
         assert (ob >= 0).all() and (ob <= 1).all()
     assert flipped_any, "no crop ever invalidated the corner box"
+
+
+def _np_roi_align_2d(feats, rois, out_size, ratio):
+    """NumPy transcription of torchvision's CPU roi_align (aligned=False):
+    per-bin ratio x ratio bilinear samples averaged, samples outside
+    [-1, dim] contribute 0, coords clamped, roi sides clamped to >= 1."""
+    B, H, W, C = feats.shape
+    oh, ow = out_size
+    out = np.zeros((len(rois), oh, ow, C), np.float64)
+
+    def bilin(img, y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return np.zeros((C,), np.float64)
+        y = min(max(y, 0.0), H - 1)
+        x = min(max(x, 0.0), W - 1)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+        ly, lx = y - y0, x - x0
+        return (img[y0, x0] * (1 - ly) * (1 - lx)
+                + img[y0, x1] * (1 - ly) * lx
+                + img[y1, x0] * ly * (1 - lx)
+                + img[y1, x1] * ly * lx)
+
+    for n, (b, x1_, y1_, x2_, y2_) in enumerate(rois):
+        img = feats[int(b)].astype(np.float64)
+        rw, rh = max(x2_ - x1_, 1.0), max(y2_ - y1_, 1.0)
+        bh, bw = rh / oh, rw / ow
+        for i in range(oh):
+            for j in range(ow):
+                acc = np.zeros((C,), np.float64)
+                for iy in range(ratio):
+                    for ix in range(ratio):
+                        y = y1_ + i * bh + (iy + 0.5) * bh / ratio
+                        x = x1_ + j * bw + (ix + 0.5) * bw / ratio
+                        acc += bilin(img, y, x)
+                out[n, i, j] = acc / ratio**2
+    return out
+
+
+def test_roi_align_2d_matches_numpy_transcription():
+    from vilco_tpu.ops.roi_align import roi_align_2d
+
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((2, 9, 11, 4)).astype(np.float32)
+    rois = np.asarray([
+        [0, 1.0, 2.0, 8.5, 7.0],     # interior roi
+        [1, -0.5, -0.5, 5.0, 5.0],   # clips the border-zero rule
+        [0, 3.0, 3.0, 3.2, 3.1],     # degenerate -> clamped to >= 1
+        [1, 6.0, 2.5, 12.0, 9.5],    # runs past the right/bottom edge
+    ], np.float32)
+    for out_size in [(4, 4), (3, 5)]:
+        want = _np_roi_align_2d(feats, rois, out_size, ratio=2)
+        got = roi_align_2d(jnp.asarray(feats), jnp.asarray(rois),
+                           out_size, sampling_ratio=2)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_roi_align_2d_identity_full_image():
+    # full-image roi at matching out_size with ratio 1 samples bin centers
+    from vilco_tpu.ops.roi_align import roi_align_2d
+
+    H = W = 6
+    feats = jnp.broadcast_to(
+        jnp.arange(H, dtype=jnp.float32)[None, :, None, None], (1, H, W, 1))
+    rois = jnp.asarray([[0, 0.0, 0.0, float(W), float(H)]])
+    out = roi_align_2d(feats, rois, (H, W), sampling_ratio=1)
+    # bin centers 0.5..5.5; the last sample clamps to the H-1 border row
+    # exactly like torchvision's kernel
+    want = np.minimum(np.arange(H) + 0.5, H - 1)
+    np.testing.assert_allclose(np.asarray(out)[0, :, 0, 0], want, atol=1e-5)

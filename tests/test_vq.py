@@ -415,3 +415,36 @@ def test_vq_episode_data_parallel_cli(tmp_path):
     assert len(r["tasks"]) == 2
     for k in ("avg_tAP25", "avg_stAP25", "avg_success"):
         assert np.isfinite(r["final"][k]), k
+
+
+def test_clip_matcher_query_roi():
+    """use_query_roi (reference :399-403, defaults-off): the query feature
+    map is roi-resampled onto the annotated query-frame bbox before the
+    reduce stage. A sub-box must change the outputs; the param tree is
+    unchanged (pure resample, no new weights)."""
+    from vilco_tpu.models.clip_matcher import tiny_clip_matcher
+
+    base = tiny_clip_matcher()
+    roi_m = tiny_clip_matcher(use_query_roi=True)
+    B, T, S = 2, 3, 16
+    rng = np.random.default_rng(0)
+    clip = jnp.asarray(rng.standard_normal((B, T, S, S, 3)), jnp.float32)
+    query = jnp.asarray(rng.standard_normal((B, S, S, 3)), jnp.float32)
+    params = base.init(jax.random.PRNGKey(0), clip, query,
+                       deterministic=True)["params"]
+    bbox = jnp.asarray([[0.1, 0.2, 0.6, 0.7], [0.0, 0.0, 1.0, 1.0]])
+
+    out_plain = base.apply({"params": params}, clip, query,
+                           deterministic=True)
+    # same params drive the roi variant (no extra weights)
+    out_roi = roi_m.apply({"params": params}, clip, query,
+                          deterministic=True, query_frame_bbox=bbox)
+    assert out_roi["prob"].shape == out_plain["prob"].shape
+    assert np.isfinite(np.asarray(out_roi["prob"])).all()
+    assert not np.allclose(np.asarray(out_roi["prob"]),
+                           np.asarray(out_plain["prob"]))
+    # without a bbox the roi variant degrades to the plain forward
+    out_none = roi_m.apply({"params": params}, clip, query,
+                           deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_none["prob"]),
+                               np.asarray(out_plain["prob"]), atol=1e-6)

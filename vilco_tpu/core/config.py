@@ -374,6 +374,8 @@ class VQCfg(_Base):
     augment: bool = True                # train.aug_clip
     positive_threshold: float = 0.2     # model.positive_threshold
     positive_topk: int = 5              # model.positive_topk
+    use_query_roi: bool = False         # train.use_query_roi (ref default
+    #                                     False; model-level capability)
 
 
 @dataclass(frozen=True)

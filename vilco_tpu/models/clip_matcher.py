@@ -235,6 +235,11 @@ class ClipMatcher(nn.Module):
     # opt-in fused ViT MLP kernel (kernels/mlp.py; measured slower than
     # XLA at the flagship shape — RESULTS.md)
     use_fused_mlp: bool = False
+    # defaults-off query-frame ROI resample (reference model :399-403 via
+    # torchvision.ops.roi_align; config.train.use_query_roi = False in
+    # every shipped config) — pass `query_frame_bbox` (normalized xyxy)
+    # to __call__ when enabled
+    use_query_roi: bool = False
 
     def setup(self):
         self.backbone = ViT(self.patch_size, self.vit_dim, self.vit_depth,
@@ -281,7 +286,8 @@ class ClipMatcher(nn.Module):
         return feats
 
     def __call__(self, clip, query, *, from_features: bool = False,
-                 hnm: bool = False, deterministic: bool = True):
+                 hnm: bool = False, deterministic: bool = True,
+                 query_frame_bbox=None):
         """clip: (B, T, H, W, 3) frames or (B, T, h, w, C) features;
         query: (B, H2, W2, 3) or (B, h, w, C). Returns dict with per-anchor
         center/hw/bbox (normalized xyxy) and occupancy prob logits.
@@ -300,6 +306,21 @@ class ClipMatcher(nn.Module):
             clip_feat = self.extract(clip.reshape((B * T,) + clip.shape[2:]))
             query_feat = self.extract(query)
         h, w = clip_feat.shape[1:3]
+
+        if self.use_query_roi and query_frame_bbox is not None:
+            # resample the query features onto the annotated query-frame
+            # bbox (reference :399-403: recover_bbox to feature coords +
+            # torchvision roi_align back to (h, w))
+            from vilco_tpu.ops.roi_align import roi_align_2d
+
+            qb = query_frame_bbox.astype(jnp.float32)     # (B, 4) norm xyxy
+            scale = jnp.asarray([w, h, w, h], jnp.float32)
+            rois = jnp.concatenate(
+                [jnp.arange(qb.shape[0], dtype=jnp.float32)[:, None],
+                 qb * scale], axis=1)
+            query_feat = roi_align_2d(
+                query_feat.astype(jnp.float32), rois, (h, w)
+            ).astype(query_feat.dtype)
 
         # channel reduce (reference runs query+clip through one stack :404)
         def reduce(x):

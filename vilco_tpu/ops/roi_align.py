@@ -55,3 +55,70 @@ def roi_align_1d(
     ).reshape(idx.shape + (C,))
     v = take(lo) * (1 - frac[..., None]) + take(hi) * frac[..., None]
     return v.mean(axis=2)                             # (N, out, C)
+
+
+def roi_align_2d(
+    feats: jax.Array,     # (B, H, W, C)
+    rois: jax.Array,      # (N, 5): [batch_idx, x1, y1, x2, y2] pixel coords
+    out_size,             # (out_h, out_w)
+    sampling_ratio: int = 2,
+) -> jax.Array:
+    """(N, out_h, out_w, C) bilinear ROI align, torchvision semantics
+    (aligned=False: no half-pixel offset, roi sides clamped to >= 1,
+    samples outside [-1, dim] contribute zero).
+
+    The reference's only 2-D consumer is the defaults-off `use_query_roi`
+    query-feature crop (VQ model :399-403, config.train.use_query_roi =
+    False in every shipped config) via torchvision.ops.roi_align. Fixed
+    `sampling_ratio` (torchvision's adaptive -1 would make the sample grid
+    data-dependent — unjittable); the 2 x 2 grid matches torchvision
+    exactly whenever roi/out bin ratios are <= 2, which holds for the
+    reference's (h, w) -> (h, w) full-feature resample.
+    """
+    B, H, W, C = feats.shape
+    out_h, out_w = out_size
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    x1, y1, x2, y2 = rois[:, 1], rois[:, 2], rois[:, 3], rois[:, 4]
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+
+    def axis_pos(start, size, out_len):
+        bin_sz = size / out_len                        # (N,)
+        s = (jnp.arange(sampling_ratio, dtype=feats.dtype) + 0.5
+             ) / sampling_ratio
+        grid = jnp.arange(out_len, dtype=feats.dtype)
+        # (N, out_len * ratio)
+        return (start[:, None, None]
+                + (grid[None, :, None] + s[None, None, :])
+                * bin_sz[:, None, None]).reshape(start.shape[0], -1)
+
+    ys = axis_pos(y1, roi_h, out_h)                    # (N, OHr)
+    xs = axis_pos(x1, roi_w, out_w)                    # (N, OWr)
+
+    def weights(pos, dim):
+        valid = (pos >= -1.0) & (pos <= dim)           # torchvision border
+        p = jnp.clip(pos, 0.0, dim - 1)
+        lo = jnp.floor(p)
+        frac = p - lo
+        lo = lo.astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, dim - 1)
+        return lo, hi, frac.astype(feats.dtype), valid
+
+    ylo, yhi, wy, vy = weights(ys, H)
+    xlo, xhi, wx, vx = weights(xs, W)
+
+    f = feats[batch_idx]                               # (N, H, W, C)
+    take_y = lambda idx: jnp.take_along_axis(
+        f, idx[:, :, None, None], axis=1)              # (N, OHr, W, C)
+    fy = take_y(ylo) * (1 - wy)[..., None, None] \
+        + take_y(yhi) * wy[..., None, None]
+    take_x = lambda g, idx: jnp.take_along_axis(
+        g, idx[:, None, :, None], axis=2)              # (N, OHr, OWr, C)
+    v = take_x(fy, xlo) * (1 - wx)[:, None, :, None] \
+        + take_x(fy, xhi) * wx[:, None, :, None]
+    v = v * (vy[:, :, None, None] & vx[:, None, :, None]).astype(v.dtype)
+
+    r = sampling_ratio
+    N = v.shape[0]
+    v = v.reshape(N, out_h, r, out_w, r, C)
+    return v.mean(axis=(2, 4))

@@ -237,6 +237,7 @@ class VQEpisodeRunner:
                 num_frames=model_cfg.num_frames,
                 freeze_backbone=model_cfg.freeze_backbone,
                 use_fused=use_fused,
+                use_query_roi=getattr(model_cfg, "use_query_roi", False),
             )
         else:
             self.model = ClipMatcher(
