@@ -106,3 +106,30 @@ def test_export_nlq_dual_tower(tmp_path):
                       text_mask=tmask, deterministic=True)
     np.testing.assert_allclose(np.asarray(out["cls_logits"]),
                                np.asarray(ref["cls_logits"]), atol=1e-5)
+
+
+def test_export_vq_tracker(tmp_path, rng):
+    """VQ ClipMatcher window-forward export round-trip (+ the --task vq
+    CLI path on a persisted workdir manifest)."""
+    from vilco_tpu.bin.export_model import export_vq_forward, load_exported
+    from vilco_tpu.tasks.vq import build_clip_matcher
+
+    matcher = build_clip_matcher(window=3, frame_size=16)
+    S = matcher.clip_size
+    clip = jnp.asarray(
+        rng.standard_normal((1, 3, S, S, 3)).astype(np.float32))
+    query = jnp.asarray(
+        rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    params = matcher.init(jax.random.PRNGKey(0), clip, query,
+                          deterministic=True)["params"]
+
+    exp = export_vq_forward(matcher, params, platforms=("cpu",))
+    path = tmp_path / "vq.hlo"
+    path.write_bytes(exp.serialize())
+    out = load_exported(str(path))(clip, query)
+    ref = matcher.apply({"params": params}, clip, query,
+                        deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["bbox"]),
+                               np.asarray(ref["bbox"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["prob"]),
+                               np.asarray(ref["prob"]), atol=1e-5)

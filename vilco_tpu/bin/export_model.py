@@ -67,6 +67,28 @@ def export_forward(cfg, params, platforms=("tpu", "cpu")):
     return jexport.export(jax.jit(forward), platforms=list(platforms))(*args)
 
 
+def export_vq_forward(matcher, params, batch: int = 1,
+                      platforms=("tpu", "cpu")):
+    """Export the VQ tracker's sliding-window forward:
+    (clip (B,T,S,S,3), query (B,S,S,3)) -> {bbox (B,T,N,4) normalized
+    xyxy, prob (B,T,N) logits} — the per-window unit the inference
+    pipeline dispatches (tasks/vq.py::predict_track)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    T, S = matcher.num_frames, matcher.clip_size
+    args = [jax.ShapeDtypeStruct((batch, T, S, S, 3), jnp.float32),
+            jax.ShapeDtypeStruct((batch, S, S, 3), jnp.float32)]
+
+    def forward(clip, query):
+        out = matcher.apply({"params": params}, clip, query,
+                            deterministic=True)
+        return {"bbox": out["bbox"], "prob": out["prob"]}
+
+    return jexport.export(jax.jit(forward), platforms=list(platforms))(*args)
+
+
 def load_exported(path: str):
     """Deserialize an exported artifact; returns the jax-callable."""
     from jax import export as jexport
@@ -74,6 +96,59 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exp = jexport.deserialize(f.read())
     return exp.call
+
+
+def _main_vq(args):
+    """--task vq: export the ClipMatcher window forward. Geometry comes
+    from the run's persisted vq_config.json (--workdir) like bin/vq_infer,
+    or the CI toy shape (--tiny)."""
+    import glob
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.tasks.vq import build_clip_matcher
+
+    kw = {}
+    if args.workdir:
+        man_path = os.path.join(args.workdir, "vq_config.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                man = json.load(f)
+            if man.get("model_cfg"):
+                from vilco_tpu.core.config import VQCfg
+
+                kw["model_cfg"] = VQCfg.from_dict(man["model_cfg"])
+            kw["window"] = man["window"]
+            kw["frame_size"] = man["frame_size"]
+    matcher = build_clip_matcher(**kw)
+
+    ckpt = args.ckpt
+    if not ckpt and args.workdir:
+        ckpts = sorted(glob.glob(
+            os.path.join(args.workdir, "vq_task_*.ckpt")))
+        if ckpts:
+            ckpt = ckpts[-1]
+    if ckpt:
+        from vilco_tpu.core.checkpoint import load_checkpoint
+
+        params = load_checkpoint(ckpt)["params"]
+    else:
+        S = matcher.clip_size
+        params = matcher.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, S, S, 3)),
+            jnp.zeros((1, S, S, 3)), deterministic=True)["params"]
+
+    exp = export_vq_forward(matcher, params,
+                            platforms=tuple(args.platforms.split(",")))
+    data = exp.serialize()
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(f"wrote {args.out}: {len(data)/1e6:.1f} MB, "
+          f"platforms={exp.platforms}, "
+          f"in={[str(a) for a in exp.in_avals]}")
 
 
 def main(argv=None):
@@ -85,7 +160,15 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="tiny synthetic config (smoke)")
     p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument("--task", choices=["mq", "nlq", "vq"], default="mq",
+                   help="vq exports the ClipMatcher window forward "
+                        "(nlq is the mq path with use_text configs)")
+    p.add_argument("--workdir", default=None,
+                   help="with --task vq: restore geometry from the run's "
+                        "vq_config.json and its latest vq_task_*.ckpt")
     args = p.parse_args(argv)
+    if args.task == "vq":
+        return _main_vq(args)
 
     import jax
     import jax.numpy as jnp

@@ -183,6 +183,37 @@ def make_synthetic_vq_split(rng: np.random.Generator, num_tasks: int = 3,
             split(samples_per_cat_val, "val"))
 
 
+def build_clip_matcher(model_cfg=None, *, window: int = 4,
+                       frame_size: int = 32,
+                       use_fused: bool = False) -> ClipMatcher:
+    """One ClipMatcher construction path shared by the episode runner and
+    the serving export: a VQCfg (flagship configs/vq_vilco.yaml shape) or,
+    without one, the CI-sized toy geometry derived from window/frame_size."""
+    if model_cfg is not None:
+        return ClipMatcher(
+            dim=model_cfg.dim, clip_size=model_cfg.clip_size,
+            patch_size=model_cfg.patch_size,
+            vit_dim=model_cfg.vit_dim, vit_depth=model_cfg.vit_depth,
+            vit_heads=model_cfg.vit_heads,
+            resolution_transformer=model_cfg.resolution_transformer,
+            resolution_anchor_feat=model_cfg.resolution_anchor_feat,
+            num_transformer=model_cfg.num_transformer,
+            window_transformer=model_cfg.window_transformer,
+            num_frames=model_cfg.num_frames,
+            freeze_backbone=model_cfg.freeze_backbone,
+            use_fused=use_fused,
+            use_query_roi=getattr(model_cfg, "use_query_roi", False),
+        )
+    return ClipMatcher(
+        dim=64, clip_size=frame_size, patch_size=8,
+        vit_dim=48, vit_depth=2, vit_heads=4,
+        resolution_transformer=frame_size // 8,
+        resolution_anchor_feat=frame_size // 8,
+        num_transformer=1, window_transformer=5,
+        num_frames=window, use_fused=use_fused,
+    )
+
+
 @TASKS.register("vq")
 class VQEpisodeRunner:
     """CL episode engine for VQ (mirrors VQ/train_cl.py:51-280): per task —
@@ -225,29 +256,9 @@ class VQEpisodeRunner:
             # VQ/config/train_cl.yaml); window/frame_size follow it
             self.window = window = model_cfg.num_frames
             self.frame_size = frame_size = model_cfg.clip_size
-            self.model = ClipMatcher(
-                dim=model_cfg.dim, clip_size=model_cfg.clip_size,
-                patch_size=model_cfg.patch_size,
-                vit_dim=model_cfg.vit_dim, vit_depth=model_cfg.vit_depth,
-                vit_heads=model_cfg.vit_heads,
-                resolution_transformer=model_cfg.resolution_transformer,
-                resolution_anchor_feat=model_cfg.resolution_anchor_feat,
-                num_transformer=model_cfg.num_transformer,
-                window_transformer=model_cfg.window_transformer,
-                num_frames=model_cfg.num_frames,
-                freeze_backbone=model_cfg.freeze_backbone,
-                use_fused=use_fused,
-                use_query_roi=getattr(model_cfg, "use_query_roi", False),
-            )
-        else:
-            self.model = ClipMatcher(
-                dim=64, clip_size=frame_size, patch_size=8,
-                vit_dim=48, vit_depth=2, vit_heads=4,
-                resolution_transformer=frame_size // 8,
-                resolution_anchor_feat=frame_size // 8,
-                num_transformer=1, window_transformer=5,
-                num_frames=window, use_fused=use_fused,
-            )
+        self.model = build_clip_matcher(model_cfg, window=window,
+                                        frame_size=frame_size,
+                                        use_fused=use_fused)
         if persist_config and jax.process_index() == 0:
             # persist the model-defining settings so bin/vq_infer.py can
             # rebuild the exact ClipMatcher shape from the workdir alone
