@@ -140,9 +140,18 @@ class EncoderLayer(nn.Module):
     def __call__(self, x, attn_mask):
         B, L, C = x.shape
         H = self.num_heads
-        qkv = nn.Dense(3 * C, name="qkv", dtype=x.dtype)(x)
-        qkv = qkv.reshape(B, L, 3, H, C // H)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # q/k/v as three matmuls against column blocks of the one fused
+        # qkv kernel: weight-side slicing is free, whereas slicing the
+        # (B, L, 3C) activation into thirds forces a copy of each third
+        # before its reshape (same layout torch's in_proj_weight packs)
+        from vilco_tpu.models.vit import _DenseParams
+
+        wqkv, bqkv = _DenseParams(3 * C, C, name="qkv")()
+        wqkv = wqkv.astype(x.dtype)
+        bqkv = bqkv.astype(x.dtype)
+        q = (x @ wqkv[:, :C] + bqkv[:C]).reshape(B, L, H, C // H)
+        k = (x @ wqkv[:, C:2 * C] + bqkv[C:2 * C]).reshape(B, L, H, C // H)
+        v = (x @ wqkv[:, 2 * C:] + bqkv[2 * C:]).reshape(B, L, H, C // H)
         scale = (C // H) ** -0.5
         a = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                        preferred_element_type=jnp.float32)

@@ -70,13 +70,18 @@ class ViTBlock(nn.Module):
         B, L, C = x.shape
         H = self.num_heads
         h = nn.LayerNorm(name="norm1", dtype=x.dtype)(x)
-        qkv = nn.Dense(3 * C, name="qkv", dtype=x.dtype)(h)
-        # contiguous thirds == reshape(B, L, 3, H, D) slices, without the
-        # 5-D reshape + middle-axis gather (measured ~90 ms/step of
-        # transpose/reshape at the VQ flagship shape)
-        q = qkv[..., :C].reshape(B, L, H, C // H)
-        k = qkv[..., C:2 * C].reshape(B, L, H, C // H)
-        v = qkv[..., 2 * C:].reshape(B, L, H, C // H)
+        # q/k/v as three matmuls against column blocks of the ONE fused
+        # qkv kernel (same param tree the torch importer fills): slicing
+        # the (C, C) weight sub-blocks is free, whereas slicing the
+        # (B, L, 3C) activation into contiguous thirds forced a copy of
+        # every third before its reshape (measured ~80 ms/step of
+        # slice/fold copies at the VQ flagship shape, RESULTS.md)
+        wqkv, bqkv = _DenseParams(3 * C, C, name="qkv")()
+        wqkv = wqkv.astype(h.dtype)
+        bqkv = bqkv.astype(h.dtype)
+        q = (h @ wqkv[:, :C] + bqkv[:C]).reshape(B, L, H, C // H)
+        k = (h @ wqkv[:, C:2 * C] + bqkv[C:2 * C]).reshape(B, L, H, C // H)
+        v = (h @ wqkv[:, 2 * C:] + bqkv[2 * C:]).reshape(B, L, H, C // H)
         if self.use_fused:
             from vilco_tpu.kernels.attention import (
                 flash_attention_jax,
