@@ -544,3 +544,48 @@ def test_prompt_pool_dim_mismatch_raises():
     pool = PromptPool(pool_size=4, length=2, embed_dim=16, top_k=2)
     with pytest.raises(ValueError, match="n_txt_in"):
         pool.init(jax.random.PRNGKey(0), jnp.ones((2, 5, 12)))
+
+
+def test_abs_pe_over_length_matches_torch_interpolate():
+    """Inference-time PE re-interpolation for over-length inputs pins to
+    F.interpolate(mode='linear', align_corners=False)
+    (MQ backbones.py:228-235 / NLQ :575-580); training raises like the
+    reference's 'Reached max length.' assert."""
+    import torch
+    import torch.nn.functional as F
+
+    from vilco_tpu.models.backbone import _abs_pe_table
+    from vilco_tpu.ops.masked import sinusoid_encoding
+
+    cfg = tiny_config().model
+    E, max_len, T = cfg.embd_dim, cfg.max_seq_len, cfg.max_seq_len + 13
+
+    got = _abs_pe_table(cfg, T, deterministic=True)
+    table = sinusoid_encoding(max_len, E) / (E ** 0.5)
+    want = F.interpolate(
+        torch.from_numpy(table.T[None]), T, mode="linear",
+        align_corners=False,
+    ).numpy()[0].T
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # T <= max_len: plain truncated table, no resize
+    same = _abs_pe_table(cfg, max_len, deterministic=True)
+    np.testing.assert_array_equal(same, table)
+
+    with pytest.raises(ValueError, match="max_seq_len"):
+        _abs_pe_table(cfg, T, deterministic=False)
+
+
+def test_backbone_forward_over_length_inference():
+    """The MQ backbone accepts an over-length clip at inference (native-length
+    eval path of the reference when force_upsampling is off)."""
+    cfg = tiny_config()
+    T = cfg.model.max_seq_len * 2
+    from vilco_tpu.models.backbone import ConvTransformerBackbone
+
+    bb = ConvTransformerBackbone(cfg.model)
+    x = jnp.ones((1, T, cfg.model.input_dim), jnp.float32)
+    mask = jnp.ones((1, T), bool)
+    variables = bb.init(jax.random.PRNGKey(0), x, mask, deterministic=True)
+    feats, masks = bb.apply(variables, x, mask, deterministic=True)
+    assert feats[0].shape[1] == T

@@ -48,6 +48,27 @@ def _use_fused_xl(cfg: ModelConfig) -> bool:
     return bool(cfg.fused_xl) and jax.default_backend() == "tpu"
 
 
+def _abs_pe_table(cfg: ModelConfig, T: int, deterministic: bool):
+    """Sinusoid PE scaled by 1/sqrt(E) (backbones.py:61-63), length >= T.
+
+    Over-length inputs: at inference the reference linearly re-interpolates
+    the table to T (MQ backbones.py:228-235 / NLQ :575-580,
+    F.interpolate(mode='linear', align_corners=False)); training asserts
+    T <= max_len (:221-222). T is static under jit, so the resize happens
+    in numpy at trace time.
+    """
+    E = cfg.embd_dim
+    pe = sinusoid_encoding(cfg.max_seq_len, E) / (E ** 0.5)
+    if T > cfg.max_seq_len:
+        if not deterministic:
+            raise ValueError(
+                f"T={T} exceeds max_seq_len={cfg.max_seq_len} during "
+                "training (reference asserts 'Reached max length.')")
+        from vilco_tpu.data.pipeline import linear_resize
+        pe = linear_resize(pe, T)
+    return pe
+
+
 class ConvTransformerBackbone(nn.Module):
     cfg: ModelConfig
     adapt_blocks: Tuple[int, ...] = ()   # branch indices carrying CL adapters
@@ -84,10 +105,7 @@ class ConvTransformerBackbone(nn.Module):
             x = nn.relu(x)
 
         if cfg.use_abs_pe:
-            # fixed sinusoid PE scaled by 1/sqrt(E) (backbones.py:61-63).
-            # The reference re-interpolates for over-length inference inputs
-            # (:229-236); our pipeline pads to max_seq_len so T <= max_len.
-            pe = sinusoid_encoding(cfg.max_seq_len, E) / (E ** 0.5)
+            pe = _abs_pe_table(cfg, T, deterministic)
             pe = jnp.asarray(pe, dtype=x.dtype)[None, :T]
             x = x + pe * mask[..., None].astype(x.dtype)
 
@@ -281,7 +299,7 @@ class DualTowerBackbone(nn.Module):
             x = nn.relu(x)
 
         if cfg.use_abs_pe:
-            pe = sinusoid_encoding(cfg.max_seq_len, E) / (E ** 0.5)
+            pe = _abs_pe_table(cfg, T, deterministic)
             pe = jnp.asarray(pe, dtype=x.dtype)[None, :T]
             x = x + pe * mask[..., None].astype(x.dtype)
 
