@@ -318,14 +318,24 @@ class TransformerBlock(nn.Module):
             adapt = TimeAdapter(self.adapter_t_in, name="adapter")(ln1)
             out = out + adapt
 
+        # Residual scaling: AffineDropPath only when path_drop > 0 — the
+        # reference constructs nn.Identity otherwise (blocks.py:553-558).
+        # drop_path_attn is SHARED between the self-attn and cross-attn
+        # residuals (blocks.py:567,573).
+        if self.path_drop > 0.0:
+            _dp_attn = AffineDropPath(self.path_drop, name="drop_path_attn")
+            _dp_mlp = AffineDropPath(self.path_drop, name="drop_path_mlp")
+            dp_attn = lambda v: _dp_attn(v, deterministic)
+            dp_mlp = lambda v: _dp_mlp(v, deterministic)
+        else:
+            dp_attn = dp_mlp = lambda v: v
+
         out_mask_f = out_mask[..., None].astype(out.dtype)
         if s > 1:
             skip, _ = masked_max_pool1d(x, mask, kernel=s + 1, stride=s)
         else:
             skip = x
-        out = skip * out_mask_f + AffineDropPath(
-            self.path_drop, name="drop_path_attn"
-        )(out, deterministic)
+        out = skip * out_mask_f + dp_attn(out)
 
         if self.use_cross_modal and cross_y is not None:
             ln3 = LayerNormC(name="ln3")
@@ -334,9 +344,7 @@ class TransformerBlock(nn.Module):
                 use_fused=self.use_fused, name="cross_attn",
             )(ln3(out), out_mask, enc=ln3(cross_y), enc_mask=cross_y_mask,
               deterministic=deterministic)
-            out = out * out_mask_f + AffineDropPath(
-                self.path_drop, name="drop_path_cross"
-            )(cross_out, deterministic)
+            out = out * out_mask_f + dp_attn(cross_out)
 
         # FFN
         n_hidden = self.n_hidden or 4 * E
@@ -346,9 +354,7 @@ class TransformerBlock(nn.Module):
         h = nn.Dropout(self.proj_drop)(h, deterministic=deterministic)
         h = nn.Dense(E, name="mlp_fc2", dtype=x.dtype)(h)
         h = nn.Dropout(self.proj_drop)(h, deterministic=deterministic)
-        out = out + AffineDropPath(self.path_drop, name="drop_path_mlp")(
-            h * out_mask_f, deterministic
-        )
+        out = out + dp_mlp(h * out_mask_f)
 
         # channel-attention mix on stride-1 blocks (blocks.py:578-585)
         if self.use_channel_attn and s == 1:

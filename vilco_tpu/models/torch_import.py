@@ -16,7 +16,8 @@ Layout translations (torch -> flax):
 Documented parameter-sharing quirks of the reference that the import
 reproduces by copying (the rebuild unties them; PARITY.md):
   - ``drop_path_attn`` is applied to BOTH the self-attn and the cross-attn
-    residual (blocks.py:567,573) -> copied into our ``drop_path_cross``;
+    residual (blocks.py:567,573) -> our TransformerBlock shares the same
+    AffineDropPath module for both;
   - with ``use_xl=False`` the backbone re-applies ``stem.0`` before the
     branch (backbones.py:276-278) -> copied into our ``pre_branch``;
   - ``ln3`` is shared between the cross query and cross memory; both repos
@@ -99,8 +100,6 @@ def _block_rules(ref: str) -> Dict[str, Tuple[str, Callable]]:
     r["mlp_fc2/bias"] = (f"{ref}.mlp.3.bias", _id)
     r["drop_path_attn/scale"] = (f"{ref}.drop_path_attn.scale", _adp)
     r["drop_path_mlp/scale"] = (f"{ref}.drop_path_mlp.scale", _adp)
-    # reference applies drop_path_attn to the cross residual too
-    r["drop_path_cross/scale"] = (f"{ref}.drop_path_attn.scale", _adp)
     # channel block (reference ChannelBlock: norm1 exists but is unused)
     r["channel_attn/qkv/kernel"] = (f"{ref}.channel_attn.attn.qkv.weight",
                                     _dense_from_linear)
