@@ -147,3 +147,90 @@ def load_reference_mq():
 def load_reference_nlq():
     """Import and return the reference NLQ `libs` package (or skip)."""
     return _load(REF_NLQ)
+
+
+REF_VQ = "/root/reference/VQ"
+
+_vq_utils: dict = {}
+
+
+def load_reference_vq_utils():
+    """Import the reference VQ loss/anchor/dataset utils
+    (VQ/utils/loss_utils.py, VQ/utils/anchor_utils.py,
+    VQ/dataset/dataset_utils.py) for numeric-parity tests.
+
+    Their import graph reaches kornia/decord/torchvision (uninstalled)
+    and the heavy dataset classes; those are stubbed — the parity tests
+    only call the pure-torch loss/assignment/replication functions.
+    sys.modules pollution ('dataset', 'utils', stub packages) is rolled
+    back after loading; the loaded modules are cached.
+    """
+    import importlib.util
+
+    import pytest
+
+    if _vq_utils:
+        return (_vq_utils["loss"], _vq_utils["anchor"], _vq_utils["data"])
+    if not os.path.isdir(REF_VQ):
+        pytest.skip("reference checkout not available")
+    pytest.importorskip("torch")
+
+    saved = {
+        k: sys.modules.get(k)
+        for k in ("dataset", "dataset.base_dataset", "dataset.dataset_utils",
+                  "dataset.egotracks_dataset", "utils", "utils.anchor_utils",
+                  "utils.loss_utils", "kornia", "kornia.augmentation",
+                  "kornia.constants", "decord", "torchvision",
+                  "torchvision.transforms")
+    }
+
+    def stub(name, **attrs):
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    def from_file(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    try:
+        k_mod = stub("kornia")
+        k_mod.augmentation = stub("kornia.augmentation")
+        stub("kornia.constants", DataKey=object)
+        stub("decord")
+        tv = stub("torchvision")
+        tv.transforms = stub("torchvision.transforms")
+
+        dpkg = stub("dataset")
+        dpkg.__path__ = [os.path.join(REF_VQ, "dataset")]
+        stub("dataset.base_dataset", QueryVideoDataset=object,
+             QueryVideoCLDataset=object)
+        stub("dataset.egotracks_dataset", EgoTracksDataset=object)
+        data_utils = from_file(
+            "dataset.dataset_utils",
+            os.path.join(REF_VQ, "dataset", "dataset_utils.py"))
+        dpkg.dataset_utils = data_utils
+
+        upkg = stub("utils")
+        upkg.__path__ = [os.path.join(REF_VQ, "utils")]
+        anchor_utils = from_file(
+            "utils.anchor_utils",
+            os.path.join(REF_VQ, "utils", "anchor_utils.py"))
+        upkg.anchor_utils = anchor_utils
+        loss_utils = from_file(
+            "utils.loss_utils",
+            os.path.join(REF_VQ, "utils", "loss_utils.py"))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    _vq_utils.update(loss=loss_utils, anchor=anchor_utils, data=data_utils)
+    return loss_utils, anchor_utils, data_utils

@@ -904,3 +904,132 @@ def test_full_mq_loss_parity(ref, rng, smoothing, al_w):
         np.testing.assert_allclose(
             float(metrics[k]), float(t_losses[k]), rtol=2e-3, atol=2e-5,
             err_msg=k)
+
+
+# ------------------------------------------------------------- VQ loss
+
+def _vq_loss_case(rng, b, t, *, gt_rows, big_anchors=True, seed_shift=0):
+    """Build matched torch/numpy preds + gts for the VQ anchor loss.
+
+    gt_rows: list of per-sample frame-index lists that carry a GT bbox.
+    big_anchors=False shrinks every pred/anchor so no anchor crosses the
+    IoU threshold (exercising the top-k fallback path).
+    """
+    from vilco_tpu.ops.anchors import generate_anchors, xyhw_to_xyxy
+
+    anchors_xyhw = np.asarray(generate_anchors(32, 2), np.float32) / 32.0
+    if not big_anchors:
+        anchors_xyhw = anchors_xyhw * np.asarray([1, 1, .02, .02], np.float32)
+    N = anchors_xyhw.shape[0]
+    delta = rng.normal(0, 0.02, size=(b, t, N, 4)).astype(np.float32)
+    refine = delta + anchors_xyhw[None, None]
+    center, hw = refine[..., :2], 0.5 * refine[..., 2:]
+    bbox = np.concatenate([center - hw, center + hw], -1)
+    prob = rng.normal(0, 1.5, size=(b, t, N)).astype(np.float32)
+
+    gt_bbox = np.tile(np.asarray([0.0, 0.0, 1e-4, 1e-4], np.float32),
+                      (b, t, 1))
+    gt_prob = np.zeros((b, t), np.float32)
+    for i, rows in enumerate(gt_rows):
+        for j in rows:
+            x0, y0 = rng.uniform(0.1, 0.5, size=2)
+            w_, h_ = rng.uniform(0.2, 0.4, size=2)
+            gt_bbox[i, j] = [x0, y0, min(x0 + w_, 1), min(y0 + h_, 1)]
+            gt_prob[i, j] = 1.0
+    before_query = np.ones((b, t), np.float32)
+    before_query[:, -1] = 0.0   # last frame past the query
+
+    preds = dict(center=center, hw=hw, bbox=bbox, prob=prob)
+    gts = dict(clip_bbox=gt_bbox, clip_with_bbox=gt_prob,
+               before_query=before_query)
+    anchors_xyxy = np.asarray(xyhw_to_xyxy(anchors_xyhw), np.float32)
+    return preds, gts, anchors_xyxy
+
+
+@pytest.mark.parametrize("case", ["normal", "topk_fallback", "no_gt"])
+def test_vq_loss_parity(rng, case):
+    """Anchor-loss parity against the ACTUAL reference loss stack
+    (VQ/utils/loss_utils.py::get_losses_with_anchor +
+    anchor_utils.py::assign_labels/process_labels): same preds/gts into
+    both, pinning center/hw/giou/prob losses, the weighted total, the
+    per-frame top predictions, and the zero-positive fake-positive quirk
+    (loss_utils.py:47-49)."""
+    from types import SimpleNamespace as NS
+
+    from tests._reference import load_reference_vq_utils
+    from vilco_tpu.train.vq_engine import vq_losses
+
+    lu, _, _ = load_reference_vq_utils()
+
+    b, t = 2, 4
+    gt_rows = {"normal": [[0, 2], [1]],
+               "topk_fallback": [[0, 2], [1]],
+               "no_gt": [[], []]}[case]
+    preds, gts, anchors_xyxy = _vq_loss_case(
+        rng, b, t, gt_rows=gt_rows, big_anchors=(case != "topk_fallback"))
+
+    cfg = NS(train=NS(use_hnm=False),
+             model=NS(positive_threshold=0.2, positive_topk=5),
+             loss=NS(weight_bbox_center=1.0, weight_bbox_hw=1.0,
+                     weight_bbox_giou=0.3, weight_prob=100.0))
+    tpreds = {k: torch.from_numpy(v) for k, v in preds.items()}
+    tpreds["anchor"] = torch.from_numpy(anchors_xyxy).reshape(1, 1, -1, 4)
+    tgts = {k: torch.from_numpy(v) for k, v in gts.items()}
+    tgts["before_query"] = tgts["before_query"].bool()
+    with torch.no_grad():
+        t_loss, t_top, _ = lu.get_losses_with_anchor(cfg, tpreds, tgts)
+    t_total = sum(float(t_loss[k.replace("loss_", "weight_")]) * float(v)
+                  for k, v in t_loss.items() if k.startswith("loss"))
+
+    o_preds = dict(preds, anchors_xyxy=anchors_xyxy)
+    total, metrics, top = vq_losses(o_preds, gts)
+
+    pairs = [("loss_center", "loss_bbox_center"),
+             ("loss_hw", "loss_bbox_hw"),
+             ("loss_giou", "loss_bbox_giou"),
+             ("loss_prob", "loss_prob")]
+    for ours_k, ref_k in pairs:
+        np.testing.assert_allclose(
+            float(metrics[ours_k]), float(t_loss[ref_k]),
+            rtol=1e-4, atol=1e-6, err_msg=f"{case}:{ours_k}")
+    np.testing.assert_allclose(float(total), t_total, rtol=1e-4,
+                               err_msg=case)
+    np.testing.assert_allclose(np.asarray(top["bbox"]), _np(t_top["bbox"]),
+                               atol=1e-6, err_msg=case)
+    np.testing.assert_allclose(np.asarray(top["prob"]), _np(t_top["prob"]),
+                               atol=1e-6, err_msg=case)
+
+
+def test_vq_hnm_replicate_parity(rng):
+    """(clip_i, query_j) HNM replication order + off-diagonal fills match
+    dataset_utils.py::replicate_sample_for_hnm (:199-260)."""
+    import jax.numpy as jnp
+
+    from tests._reference import load_reference_vq_utils
+    from vilco_tpu.train.vq_engine import replicate_for_hnm
+
+    _, _, du = load_reference_vq_utils()
+
+    b, t = 3, 4
+    gts = {
+        "clip": rng.standard_normal((b, t, 3, 4, 4), dtype=np.float32),
+        "clip_origin": rng.standard_normal((b, t, 3, 4, 4),
+                                           dtype=np.float32),
+        "clip_with_bbox": (rng.random((b, t)) > 0.5).astype(np.float32),
+        "before_query": np.ones((b, t), np.float32),
+        "clip_bbox": rng.random((b, t, 4)).astype(np.float32),
+        "query": rng.standard_normal((b, 3, 4, 4), dtype=np.float32),
+        "query_origin": rng.standard_normal((b, 3, 4, 4), dtype=np.float32),
+        "clip_h": np.full((b,), 4.0, np.float32),
+        "clip_w": np.full((b,), 4.0, np.float32),
+    }
+    tgts = {k: torch.from_numpy(v.copy()) for k, v in gts.items()}
+    tgts["before_query"] = tgts["before_query"].bool()
+    t_rep = du.replicate_sample_for_hnm(tgts)
+
+    o_rep = replicate_for_hnm({k: jnp.asarray(v) for k, v in gts.items()}, b)
+    for k in ("clip", "clip_with_bbox", "before_query", "clip_bbox",
+              "query", "clip_h", "clip_w"):
+        np.testing.assert_allclose(
+            np.asarray(o_rep[k], np.float32),
+            _np(t_rep[k]).astype(np.float32), atol=0, err_msg=k)

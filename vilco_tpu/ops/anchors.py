@@ -97,7 +97,18 @@ def assign_anchor_labels(
 
 
 def giou(pred: jax.Array, gt: jax.Array, eps: float = 1e-9):
-    """Generalized IoU of matching (..., 4) xyxy boxes -> (iou, giou)."""
+    """Generalized IoU of matching (..., 4) xyxy boxes -> (iou, giou).
+
+    Pred corners are re-ordered (min/max per axis) first, as the reference
+    GiouLoss does (VQ/utils/loss_utils.py:231-237) — the anchor-refinement
+    head can emit negative h/w early in training, and the re-order keeps
+    the GIoU (and its gradient) defined instead of clamping to zero area.
+    """
+    x1 = jnp.minimum(pred[..., 0], pred[..., 2])
+    x2 = jnp.maximum(pred[..., 0], pred[..., 2])
+    y1 = jnp.minimum(pred[..., 1], pred[..., 3])
+    y2 = jnp.maximum(pred[..., 1], pred[..., 3])
+    pred = jnp.stack([x1, y1, x2, y2], axis=-1)
     tl = jnp.maximum(pred[..., :2], gt[..., :2])
     br = jnp.minimum(pred[..., 2:], gt[..., 2:])
     wh = jnp.clip(br - tl, 0.0, None)

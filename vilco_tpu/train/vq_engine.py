@@ -128,8 +128,15 @@ def vq_losses(
         topk=positive_topk,
     )                                                      # (B, T, N)
     positive = assign & (gt_prob[..., None] > 0)
-    any_gt = jnp.any(gt_prob > 0)
-    positive = jnp.where(any_gt, positive, False)
+    # Reference quirk (loss_utils.py:47-49): a batch with zero positives
+    # (no GT at all, or the top-k fallback landing only on no-bbox frames)
+    # gets ONE fake positive at the first anchor of the first frame, so
+    # the bbox losses stay defined (the reference's zero-tensor else
+    # branch is dead code — after positive[:1]=True the sum is always >0)
+    # and the focal loss sees that one positive target.
+    no_pos = ~jnp.any(positive)
+    fake = jnp.zeros_like(positive).at[0, 0, 0].set(True)
+    positive = jnp.where(no_pos, fake, positive)
     pos_f = positive.astype(jnp.float32)
     num_pos = jnp.maximum(jnp.sum(pos_f), 1.0)
 
@@ -155,10 +162,6 @@ def vq_losses(
         + weight_hw * loss_hw
         + weight_giou * loss_giou
         + weight_prob * loss_prob
-    )
-    # zero bbox losses when batch has no GT (reference returns 0 tensors)
-    total = jnp.where(
-        any_gt, total, weight_prob * loss_prob
     )
 
     # top prediction per frame (for logging / eval)
