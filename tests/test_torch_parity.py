@@ -1033,3 +1033,140 @@ def test_vq_hnm_replicate_parity(rng):
         np.testing.assert_allclose(
             np.asarray(o_rep[k], np.float32),
             _np(t_rep[k]).astype(np.float32), atol=0, err_msg=k)
+
+
+# ---------------------------------------------------- NLQ full-model loss
+
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_full_nlq_loss_parity(rng, smoothing, monkeypatch):
+    """Full NLQ training-loss parity: the ACTUAL reference NLQ
+    PtTransformer (NLQ/libs/modeling/meta_archs.py:340 — dual-tower
+    backbone, identity neck, multi-hot label assignment :1040-1070,
+    losses :1094-1159) vs our PointTransformer(variant='nlq') +
+    compute_losses, weights ported via load_torch_nlq_point_transformer.
+    Pins cls/reg/final losses and the loss-normalizer EMA."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests._reference import load_reference_nlq
+    from vilco_tpu.core.config import Config
+    from vilco_tpu.models.point_transformer import (
+        PointTransformer,
+        level_lengths,
+    )
+    from vilco_tpu.models.torch_import import (
+        load_torch_nlq_point_transformer,
+    )
+    from vilco_tpu.ops.assign import generate_points
+    from vilco_tpu.train.engine import CLBatchExtras, compute_losses
+
+    nlq = load_reference_nlq()
+
+    E, H, B, T, L, NC, CIN, CTXT = 32, 4, 2, 64, 8, 3, 16, 24
+    arch = (2, 1, 1, 0, 3)
+    WIN = 9
+    rr = [(0, 4), (2, 8), (4, 16), (8, 10000)]
+    INIT_NORM = 20.0
+
+    train_cfg = dict(
+        center_sample="radius", center_sample_radius=1.5, loss_weight=1.0,
+        cls_prior_prob=0.01, init_loss_norm=INIT_NORM, head_empty_cls=[],
+        dropout=0.0, droppath=0.0, label_smoothing=smoothing)
+    test_cfg = dict(
+        pre_nms_thresh=0.001, pre_nms_topk=5000, iou_threshold=0.1,
+        min_score=0.01, max_seg_num=1000, nms_method="soft", nms_sigma=0.5,
+        duration_thresh=0.05, multiclass_nms=True, voting_thresh=0.75)
+    cl_cfg = dict(
+        name=None, memory_size=0, type_sampling="icarl", adv_lambda=0,
+        prompt_pool=False, pool_size=0, topk=4, length=20, embed_dim=768,
+        narration_ssl=False, narration_dim=512, ssl_factor=0.01,
+        use_adapter=False, adapt_blocks=[])
+
+    tmodel = nlq.modeling.meta_archs.PtTransformer(
+        backbone_type="convTransformer", fpn_type="identity",
+        backbone_arch=arch, scale_factor=2, input_vid_dim=CIN,
+        input_txt_dim=CTXT, max_seq_len=T, max_buffer_len_factor=1.0,
+        n_head=H, n_mha_win_size=WIN, embd_kernel_size=3, embd_dim=E,
+        embd_with_ln=True, fpn_dim=E, fpn_with_ln=True, fpn_start_level=0,
+        head_dim=E, regression_range=rr, head_num_layers=3,
+        head_kernel_size=3, head_with_ln=True, use_abs_pe=True,
+        use_rel_pe=False, num_classes=NC, train_cfg=train_cfg,
+        test_cfg=test_cfg, cl_cfg=cl_cfg)
+    # the NLQ meta-arch hardcodes device=cuda:0 (meta_archs.py:563-567)
+    monkeypatch.setattr(type(tmodel), "device",
+                        property(lambda s: torch.device("cpu")))
+    _randomize(tmodel)
+    tmodel.train()
+
+    lens, txt_lens, n_gt = [T, 48], [L, 5], [3, 2]
+    NMAX = max(n_gt)
+    x = np.zeros((B, T, CIN), np.float32)
+    txt = np.zeros((B, L, CTXT), np.float32)
+    mask, tmask = _mask_np(B, T, lens), _mask_np(B, L, txt_lens)
+    gt_seg = np.zeros((B, NMAX, 2), np.float32)
+    gt_lab = np.zeros((B, NMAX), np.int64)
+    gt_valid = np.zeros((B, NMAX), bool)
+    video_list = []
+    for b, (t_i, l_i, n) in enumerate(zip(lens, txt_lens, n_gt)):
+        x[b, :t_i] = rng.standard_normal((t_i, CIN), dtype=np.float32)
+        txt[b, :l_i] = rng.standard_normal((l_i, CTXT), dtype=np.float32)
+        s = rng.uniform(0, t_i - 13, size=n).astype(np.float32)
+        e = s + rng.uniform(2, 12, size=n).astype(np.float32)
+        gt_seg[b, :n] = np.stack([s, e], 1)
+        gt_lab[b, :n] = rng.integers(0, NC, size=n)
+        gt_valid[b, :n] = True
+        one_hot = np.zeros((n, NC), np.float32)
+        one_hot[np.arange(n), gt_lab[b, :n]] = 1.0
+        video_list.append(dict(
+            feats=torch.from_numpy(x[b, :t_i].T.copy()),
+            query_feats=torch.from_numpy(txt[b, :l_i].T.copy()),
+            segments=torch.from_numpy(gt_seg[b, :n].copy()),
+            one_hot_labels=torch.from_numpy(one_hot),
+        ))
+
+    with torch.no_grad():
+        t_losses = tmodel(video_list)
+
+    cfg = Config.from_dict({
+        "task": "nlq",
+        "dataset": {"num_classes": NC, "max_seq_len": T, "input_dim": CIN,
+                    "input_txt_dim": CTXT, "max_segments": NMAX,
+                    "use_text": True},
+        "model": {"variant": "nlq", "backbone_arch": arch, "embd_dim": E,
+                  "fpn_dim": E, "head_dim": E, "n_head": H,
+                  "n_mha_win_size": WIN, "use_abs_pe": True,
+                  "use_cross_modal": True, "n_txt_in": CTXT,
+                  "compute_dtype": "float32",
+                  "regression_range": tuple(tuple(r) for r in rr)},
+        "train_cfg": {"droppath": 0.0, "dropout": 0.0,
+                      "label_smoothing": smoothing, "al_loss_weight": 0.0,
+                      "use_gaussian_weights": False,
+                      "init_loss_norm": INIT_NORM, "loss_weight": 1.0,
+                      "center_sample": "radius",
+                      "center_sample_radius": 1.5},
+    }).derived()
+    model = PointTransformer(cfg.model, cfg.cl_cfg)
+    tmpl = model.init(jax.random.PRNGKey(0), x, mask, text=txt,
+                      text_mask=tmask, deterministic=True)["params"]
+    params = load_torch_nlq_point_transformer(
+        state_dict_to_numpy(tmodel), cfg.model, tmpl)
+
+    out = model.apply({"params": params}, x, mask, text=txt,
+                      text_mask=tmask, deterministic=True)
+    points = jnp.asarray(generate_points(
+        level_lengths(cfg.model), cfg.model.fpn_strides,
+        cfg.model.regression_range))
+    batch = {"gt_segments": jnp.asarray(gt_seg),
+             "gt_labels": jnp.asarray(gt_lab),
+             "gt_valid": jnp.asarray(gt_valid)}
+    cl = CLBatchExtras(class_mask=jnp.ones((NC,), bool))
+    final, metrics, new_norm = compute_losses(
+        out, batch, points, cfg, cl,
+        jnp.asarray(INIT_NORM, jnp.float32), "naive", 0)
+
+    np.testing.assert_allclose(float(new_norm),
+                               float(tmodel.loss_normalizer), rtol=1e-5)
+    for k in ("cls_loss", "reg_loss", "final_loss"):
+        np.testing.assert_allclose(
+            float(metrics[k]), float(t_losses[k]), rtol=2e-3, atol=2e-5,
+            err_msg=k)

@@ -236,6 +236,49 @@ def dual_tower_rules(n_convs: int, n_txt_stem: int, n_vid_stem: int,
     return r
 
 
+def nlq_point_transformer_rules(arch, n_levels: int, head_layers: int = 3,
+                                ) -> Dict[str, Tuple[str, Callable]]:
+    """Full leaf map for ``PointTransformer(variant='nlq')`` <- the
+    reference NLQ PtTransformer (NLQ/libs/modeling/meta_archs.py:340):
+    the DualTowerBackbone map under the ``backbone.`` prefix plus the
+    neck norms, cls/reg heads, and per-level scales (identical layout to
+    the MQ meta-arch). The reference NLQ model has no learnable label
+    Gaussians — our model's (unused at use_gaussian_weights=False)
+    mu/sigma params are left at init via ``allowed_missing``."""
+    n_convs, n_txt_stem, n_vid_stem = arch[0], arch[1], arch[2]
+    n_branch = arch[3] + arch[4]
+    r = {
+        k: (f"backbone.{key}", tf)
+        for k, (key, tf) in _prefix(
+            dual_tower_rules(n_convs, n_txt_stem, n_vid_stem, n_branch),
+            "backbone").items()
+    }
+    for i in range(n_levels):
+        r.update(_prefix(_cln_rules(f"norm_{i}", f"neck.fpn_norms.{i}"),
+                         "neck"))
+    for i in range(head_layers - 1):
+        r.update(_prefix(_masked_conv_rules(
+            f"head_{i}", f"cls_head.head.{i}"), "cls_head"))
+        r.update(_prefix(_cln_rules(f"norm_{i}", f"cls_head.norm.{i}"),
+                         "cls_head"))
+        r.update(_prefix(_masked_conv_rules(
+            f"head_{i}", f"reg_head.head.{i}"), "reg_head"))
+        r.update(_prefix(_cln_rules(f"norm_{i}", f"reg_head.norm.{i}"),
+                         "reg_head"))
+    r.update(_prefix(_masked_conv_rules("cls", "cls_head.cls_head"),
+                     "cls_head"))
+    r.update(_prefix(_masked_conv_rules("offset", "reg_head.offset_head"),
+                     "reg_head"))
+    for l in range(n_levels):
+        r[f"reg_head/scale_{l}/scale"] = (f"reg_head.scale.{l}.scale",
+                                          _scalar)
+    return r
+
+
+NLQ_GAUSSIAN_PARAMS = ("mu", "sigma", "mu_reg_left", "sigma_reg_left",
+                       "mu_reg_right", "sigma_reg_right")
+
+
 # --------------------------------------------------------------- tree utils
 
 def _flatten(tree, prefix=""):
@@ -260,14 +303,21 @@ def _unflatten(flat):
     return root
 
 
-def fill_from_rules(template, state_dict, rules, strict: bool = True):
+def fill_from_rules(template, state_dict, rules, strict: bool = True,
+                    allowed_missing: Tuple[str, ...] = ()):
     """Return a params tree with the template's structure and the state
     dict's values. Every template leaf must be covered by `rules` and
-    present in `state_dict` with a shape-compatible transform (strict)."""
+    present in `state_dict` with a shape-compatible transform (strict).
+    Leaves listed in `allowed_missing` (exact flat paths) keep their
+    template values without an error — for params our models carry that
+    the reference checkpoint legitimately lacks (e.g. the NLQ model's
+    unused label Gaussians)."""
     flat = _flatten(template)
     out = {}
     missing, mismatched = [], []
     for path, leaf in flat.items():
+        if path in allowed_missing:
+            continue
         if path not in rules:
             missing.append(path)
             continue
@@ -309,6 +359,23 @@ def load_torch_point_transformer(state_dict, cfg, params_template):
         use_cross_modal=cfg.use_cross_modal,
     )
     return fill_from_rules(params_template, state_dict, rules)
+
+
+def load_torch_nlq_point_transformer(state_dict, cfg, params_template):
+    """Port a reference NLQ PtTransformer state_dict
+    (NLQ/libs/modeling/meta_archs.py:340) onto a params template from
+    ``PointTransformer(cfg, cl).init(...)["params"]`` with
+    ``cfg.variant == 'nlq'``. The label-Gaussian params (absent in the
+    reference NLQ model, unused at use_gaussian_weights=False) keep
+    their init values."""
+    arch = cfg.backbone_arch
+    rules = nlq_point_transformer_rules(
+        arch,
+        n_levels=arch[-2] + arch[-1] + 1,
+        head_layers=cfg.head_num_layers,
+    )
+    return fill_from_rules(params_template, state_dict, rules,
+                           allowed_missing=NLQ_GAUSSIAN_PARAMS)
 
 
 def state_dict_to_numpy(module) -> Dict[str, np.ndarray]:
