@@ -287,7 +287,8 @@ def parse_args(argv=None):
                    help="batch size (default: 16 for mq, the measured "
                         "throughput sweet spot on a 16GB v5e; 4 for vq; "
                         "config default for nlq)")
-    p.add_argument("--model", choices=["mq", "nlq", "vq"], default="mq")
+    p.add_argument("--model", choices=["mq", "nlq", "vq"], default=None,
+                   help="bench ONE model (default: all three — see --all)")
     p.add_argument("--attn", choices=["xla", "flash", "pallas_naive"],
                    default="xla")
     p.add_argument("--no-fused", action="store_true",
@@ -339,8 +340,15 @@ def parse_args(argv=None):
                    help="bench mq + nlq + vq and emit ONE line: the MQ "
                         "headline with nlq/vq sub-records under "
                         "detail.sub (round-over-round regression trail "
-                        "for the non-flagship models)")
-    return p.parse_args(argv)
+                        "for the non-flagship models). This is the "
+                        "DEFAULT when no --model/--eval is given, so the "
+                        "driver's plain `python bench.py` records all "
+                        "three families (VERDICT r2 #5)")
+    args = p.parse_args(argv)
+    if args.model is None and not args.eval:
+        args.all = True
+    args.model = args.model or "mq"
+    return args
 
 
 def run_one(args):
@@ -533,24 +541,36 @@ def run_one(args):
     }
 
 
-def _start_watchdog():
-    """Abort (exit 3) instead of hanging forever when the TPU tunnel
+def _start_watchdog(n_models=1, completed=None):
+    """Bound the run instead of hanging forever when the TPU tunnel
     wedges mid-run: remote dispatch through the axon tunnel can stall
     indefinitely (observed: a bench process idle for 45+ min with no
     output), and a hung bench is worse for the caller than a failed one.
-    Deadline covers worst-case remote compile (~15 min) + the measured
-    run with margin; override with VILCO_BENCH_WATCHDOG_S (0 disables)."""
+    Per-model deadline covers worst-case remote compile (~15 min) + the
+    measured run with margin; override with VILCO_BENCH_WATCHDOG_S
+    (0 disables). On expiry: emit the records already in `completed`
+    (exit 0) if the MQ headline is among them, else exit 3."""
     import threading
 
-    limit = float(os.environ.get("VILCO_BENCH_WATCHDOG_S", 2400))
-    if limit <= 0:
+    per_model = float(os.environ.get("VILCO_BENCH_WATCHDOG_S", 2400))
+    if per_model <= 0:
         return None
+    limit = per_model * n_models
 
     def expire():
         import sys
 
         print(f"bench watchdog: no completion within {limit:.0f}s — "
-              "TPU tunnel stalled? aborting", file=sys.stderr, flush=True)
+              "TPU tunnel stalled? emitting whatever completed",
+              file=sys.stderr, flush=True)
+        # partial JSON beats exit 3 (VERDICT r2 #5): if the MQ headline
+        # finished before the wedge, emit it (with any finished subs)
+        # so the round still has a machine-readable record
+        if completed is not None and "mq" in completed:
+            head = _assemble_all(completed)
+            head["detail"]["watchdog_truncated"] = True
+            print(json.dumps(head), flush=True)
+            os._exit(0)
         os._exit(3)
 
     t = threading.Timer(limit, expire)
@@ -559,23 +579,8 @@ def _start_watchdog():
     return t
 
 
-def main(argv=None):
-    args = parse_args(argv)
-    _start_watchdog()
-    if args.all and args.eval:
-        raise SystemExit("--all benches the TRAIN step of all three "
-                         "models; --eval is per-model (drop --all)")
-    if not args.all:
-        print(json.dumps(run_one(args)))
-        return
-    import copy
-
-    recs = {}
-    for m in ("mq", "nlq", "vq"):
-        a = copy.copy(args)
-        a.model = m
-        a.batch = args.batch if m == "mq" else None
-        recs[m] = run_one(a)
+def _assemble_all(recs):
+    """One JSON record: the MQ headline with nlq/vq sub-records."""
     head = recs["mq"]
     head["detail"]["sub"] = {
         m: {
@@ -586,9 +591,30 @@ def main(argv=None):
             "step_ms": recs[m]["detail"]["step_ms"],
             "batch": recs[m]["detail"]["batch"],
         }
-        for m in ("nlq", "vq")
+        for m in ("nlq", "vq") if m in recs
     }
-    print(json.dumps(head))
+    return head
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.all and args.eval:
+        raise SystemExit("--all benches the TRAIN step of all three "
+                         "models; --eval is per-model (drop --all)")
+    if not args.all:
+        _start_watchdog()
+        print(json.dumps(run_one(args)))
+        return
+    import copy
+
+    recs = {}
+    _start_watchdog(n_models=3, completed=recs)
+    for m in ("mq", "nlq", "vq"):
+        a = copy.copy(args)
+        a.model = m
+        a.batch = args.batch if m == "mq" else None
+        recs[m] = run_one(a)
+    print(json.dumps(_assemble_all(recs)))
 
 
 if __name__ == "__main__":

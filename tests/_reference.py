@@ -234,3 +234,220 @@ def load_reference_vq_utils():
 
     _vq_utils.update(loss=loss_utils, anchor=anchor_utils, data=data_utils)
     return loss_utils, anchor_utils, data_utils
+
+
+class AttrDict(dict):
+    """Minimal easydict stand-in: the reference VQ config object is read
+    both as attributes (config.model.backbone_name) and as items
+    (config['cl']['use_adapt'])."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def _install_timm_vit_stub():
+    """A faithful mini-timm ``VisionTransformer`` so the reference's
+    ``VQ/model/mae.py`` (``import timm.models.vision_transformer``,
+    subclasses it) loads without timm installed. Standard pre-LN ViT with
+    timm's exact parameter naming (patch_embed.proj, blocks.N.{norm1,
+    attn.{qkv,proj}, norm2, mlp.{fc1,fc2}}, norm) — the same layout the
+    published DINO/MAE checkpoints carry, which is what keeps this stub
+    honest: any deviation from real timm would break real-checkpoint
+    loading, not just this test double. Accepts ``img_size`` so pos_embed
+    matches reduced test resolutions."""
+    import torch
+    import torch.nn as nn
+
+    if "timm.models.vision_transformer" in sys.modules:
+        return
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, img_size, patch_size, embed_dim):
+            super().__init__()
+            self.patch_size = (patch_size, patch_size)
+            self.num_patches = (img_size // patch_size) ** 2
+            self.proj = nn.Conv2d(3, embed_dim, patch_size,
+                                  stride=patch_size)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class Attention(nn.Module):
+        def __init__(self, dim, num_heads, qkv_bias):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            qkv = self.qkv(x).reshape(
+                B, N, 3, self.num_heads, C // self.num_heads
+            ).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            a = (q @ k.transpose(-2, -1)) * self.scale
+            a = a.softmax(dim=-1)
+            x = (a @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj(x)
+
+    class Mlp(nn.Module):
+        def __init__(self, dim, hidden):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, hidden)
+            self.act = nn.GELU()
+            self.fc2 = nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class Block(nn.Module):
+        def __init__(self, dim, num_heads, mlp_ratio, qkv_bias, norm_layer):
+            super().__init__()
+            self.norm1 = norm_layer(dim)
+            self.attn = Attention(dim, num_heads, qkv_bias)
+            self.norm2 = norm_layer(dim)
+            self.mlp = Mlp(dim, int(dim * mlp_ratio))
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class VisionTransformer(nn.Module):
+        def __init__(self, img_size=224, patch_size=16, embed_dim=768,
+                     depth=12, num_heads=12, mlp_ratio=4.0, qkv_bias=True,
+                     norm_layer=nn.LayerNorm, **kwargs):
+            super().__init__()
+            self.patch_embed = PatchEmbed(img_size, patch_size, embed_dim)
+            self.cls_token = nn.Parameter(torch.zeros(1, 1, embed_dim))
+            self.pos_embed = nn.Parameter(
+                torch.zeros(1, self.patch_embed.num_patches + 1, embed_dim))
+            self.pos_drop = nn.Dropout(0.0)
+            self.blocks = nn.ModuleList([
+                Block(embed_dim, num_heads, mlp_ratio, qkv_bias, norm_layer)
+                for _ in range(depth)
+            ])
+            self.norm = norm_layer(embed_dim)
+            nn.init.normal_(self.cls_token, std=0.02)
+            nn.init.normal_(self.pos_embed, std=0.02)
+
+    vt_mod = types.ModuleType("timm.models.vision_transformer")
+    vt_mod.VisionTransformer = VisionTransformer
+    timm_mod = sys.modules["timm"]       # created by _install_shims
+    models_mod = types.ModuleType("timm.models")
+    models_mod.vision_transformer = vt_mod
+    timm_mod.models = models_mod
+    sys.modules["timm.models"] = models_mod
+    sys.modules["timm.models.vision_transformer"] = vt_mod
+
+
+_vq_model: dict = {}
+
+
+def load_reference_vq_model():
+    """Import the reference VQ ClipMatcher module
+    (VQ/model/corr_clip_spatial_transformer2_anchor_2heads_hnm.py) plus its
+    mae module, with stubs for uninstalled deps (timm ViT — see
+    _install_timm_vit_stub — torchvision, kornia/decord). Returns
+    (corr_module, mae_module). sys.modules pollution is rolled back."""
+    import importlib.util
+
+    import pytest
+
+    if _vq_model:
+        return _vq_model["corr"], _vq_model["mae"]
+    if not os.path.isdir(REF_VQ):
+        pytest.skip("reference checkout not available")
+    pytest.importorskip("torch")
+    _install_shims()
+    _install_timm_vit_stub()
+
+    names = ("dataset", "dataset.dataset_utils", "dataset.base_dataset",
+             "dataset.egotracks_dataset", "utils",
+             "utils.model_utils", "utils.anchor_utils", "model",
+             "model.transformer", "model.mae",
+             "model.corr_clip_spatial_transformer2_anchor_2heads_hnm",
+             "cl_methods", "cl_methods.prompt", "torchvision",
+             "torchvision.ops", "kornia", "kornia.augmentation",
+             "kornia.constants", "decord")
+    saved = {k: sys.modules.get(k) for k in names}
+
+    def stub(name, **attrs):
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    def from_file(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _no_tv(*a, **k):
+        raise RuntimeError("torchvision stub: roi_align not available "
+                           "(use_query_roi must stay False)")
+
+    try:
+        tv = stub("torchvision")
+        tv.ops = stub("torchvision.ops", roi_align=_no_tv)
+        # dataset_utils' import graph reaches kornia/decord + the heavy
+        # dataset classes (same stubs as load_reference_vq_utils)
+        k_mod = stub("kornia")
+        k_mod.augmentation = stub("kornia.augmentation")
+        stub("kornia.constants", DataKey=object)
+        stub("decord")
+
+        dpkg = stub("dataset")
+        dpkg.__path__ = [os.path.join(REF_VQ, "dataset")]
+        stub("dataset.base_dataset", QueryVideoDataset=object,
+             QueryVideoCLDataset=object)
+        stub("dataset.egotracks_dataset", EgoTracksDataset=object)
+        dpkg.dataset_utils = from_file(
+            "dataset.dataset_utils",
+            os.path.join(REF_VQ, "dataset", "dataset_utils.py"))
+
+        upkg = stub("utils")
+        upkg.__path__ = [os.path.join(REF_VQ, "utils")]
+        upkg.model_utils = from_file(
+            "utils.model_utils",
+            os.path.join(REF_VQ, "utils", "model_utils.py"))
+        upkg.anchor_utils = from_file(
+            "utils.anchor_utils",
+            os.path.join(REF_VQ, "utils", "anchor_utils.py"))
+
+        clpkg = stub("cl_methods")
+        clpkg.__path__ = [os.path.join(REF_VQ, "cl_methods")]
+        prompt_mod = from_file(
+            "cl_methods.prompt",
+            os.path.join(REF_VQ, "cl_methods", "prompt.py"))
+        clpkg.prompt = prompt_mod
+        clpkg.Prompt = prompt_mod.Prompt
+
+        mpkg = stub("model")
+        mpkg.__path__ = [os.path.join(REF_VQ, "model")]
+        mpkg.transformer = from_file(
+            "model.transformer",
+            os.path.join(REF_VQ, "model", "transformer.py"))
+        mae_mod = from_file(
+            "model.mae", os.path.join(REF_VQ, "model", "mae.py"))
+        mpkg.mae = mae_mod
+        corr_mod = from_file(
+            "model.corr_clip_spatial_transformer2_anchor_2heads_hnm",
+            os.path.join(
+                REF_VQ, "model",
+                "corr_clip_spatial_transformer2_anchor_2heads_hnm.py"))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    _vq_model.update(corr=corr_mod, mae=mae_mod)
+    return corr_mod, mae_mod

@@ -1,5 +1,7 @@
 """Serving export: jax.export artifact round-trips and matches the model."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -52,6 +54,34 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                np.asarray(tree["params"]["w"]))
     assert back["params"]["b"].dtype == jnp.bfloat16
     assert int(back["step"]) == 7
+
+
+def test_checkpoint_orbax_arrays_format(tmp_path):
+    """save_checkpoint(arrays_format="orbax") keeps the manifest in the
+    zip but stores array leaves in a tensorstore dir; load_checkpoint
+    auto-detects and round-trips exactly (incl. tuples, int keys, bf16)."""
+    import numpy as np
+    from vilco_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+
+    tree = {
+        "params": {"w": np.arange(12.0).reshape(3, 4).astype(np.float32),
+                   "b": np.ones((5,), jnp.bfloat16)},
+        "task": 3,
+        "reg_list": [(np.ones((2,), np.float32), "ewc")],
+        "by_id": {7: "seven", 0: None},
+    }
+    path = str(tmp_path / "task_003.ckpt")
+    save_checkpoint(path, tree, arrays_format="orbax")
+    assert os.path.isdir(path + ".arrays")
+    # the zip itself must carry no array payload
+    data = np.load(path, allow_pickle=False)
+    assert data.files == ["__manifest__"]
+    back = load_checkpoint(path)
+    np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
+    assert back["params"]["b"].dtype == jnp.bfloat16
+    assert back["task"] == 3 and back["by_id"] == {7: "seven", 0: None}
+    assert isinstance(back["reg_list"][0], tuple)
+    np.testing.assert_array_equal(back["reg_list"][0][0], [1.0, 1.0])
 
 
 def test_load_params_into_partial(tmp_path):

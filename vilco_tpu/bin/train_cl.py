@@ -86,6 +86,11 @@ def main(argv=None):
                    help="activation dtype override (default: config — "
                         "bfloat16 on the flagship shapes, float32 on the "
                         "tiny synthetic config)")
+    p.add_argument("--ckpt-format", choices=["npz", "orbax"], default=None,
+                   help="task-checkpoint array storage: npz (one zip, the "
+                        "default) or orbax (tensorstore/OCDBT dir — the "
+                        "TPU-native layout for large params); loaders "
+                        "auto-detect either")
     p.add_argument("--seed", type=int, default=None,
                    help="override config.init_rand_seed (model init, data "
                         "order, synthetic fixtures) — the reference's "
@@ -232,6 +237,8 @@ def main(argv=None):
             opt=cfg.opt.updated(param_compute_dtype="bfloat16"))
     if args.seed is not None:
         cfg = cfg.updated(init_rand_seed=args.seed)
+    if args.ckpt_format is not None:
+        cfg = cfg.updated(ckpt_format=args.ckpt_format)
     if args.epochs:
         cfg = cfg.updated(opt=cfg.opt.updated(epochs=args.epochs))
     if args.num_tasks:

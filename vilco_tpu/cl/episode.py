@@ -798,6 +798,7 @@ class EpisodeRunner:
                         } if self.bic is not None else None
                     ),
                 },
+                arrays_format=cfg.ckpt_format,
             )
             self.metrics_log.log(
                 "task_eval", step=j, task=j,

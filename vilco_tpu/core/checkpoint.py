@@ -21,7 +21,6 @@ from typing import Any, Dict, List
 
 import jax
 import numpy as np
-from flax import serialization
 
 
 # ------------------------------------------------ tagged tree <-> manifest
@@ -79,15 +78,30 @@ def _decode(node, arrays):
     raise ValueError(f"checkpoint: unknown node tag {t!r}")
 
 
-def save_checkpoint(path: str, tree: Dict[str, Any]):
+def save_checkpoint(path: str, tree: Dict[str, Any], arrays_format: str = "npz"):
+    """arrays_format="npz" packs array leaves into the manifest zip
+    itself; "orbax" stores them in a tensorstore/OCDBT directory at
+    `path + ".arrays"` (per-array chunked storage, the TPU-native layout
+    for large/sharded params) and the zip carries only the manifest.
+    `load_checkpoint` auto-detects either layout."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays: List[np.ndarray] = []
     manifest = _encode(tree, arrays)
+    if arrays_format == "orbax":
+        # arrays first, manifest last: a crash mid-save leaves no
+        # manifest, so the checkpoint is simply not seen by loaders
+        save_orbax(path + ".arrays", {f"a{i}": a
+                                      for i, a in enumerate(arrays)})
+        payload = {}
+    elif arrays_format == "npz":
+        payload = {f"a{i}": a for i, a in enumerate(arrays)}
+    else:
+        raise ValueError(f"unknown arrays_format {arrays_format!r}")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, __manifest__=np.frombuffer(
             json.dumps(manifest).encode(), dtype=np.uint8),
-            **{f"a{i}": a for i, a in enumerate(arrays)})
+            **payload)
     os.replace(tmp, path)
 
 
@@ -102,6 +116,9 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     data = np.load(path, allow_pickle=False)
     manifest = json.loads(bytes(data["__manifest__"]).decode())
     arrays = {int(k[1:]): data[k] for k in data.files if k != "__manifest__"}
+    if not arrays and os.path.isdir(path + ".arrays"):
+        restored = restore_orbax(path + ".arrays")
+        arrays = {int(k[1:]): v for k, v in restored.items()}
     return _decode(manifest, arrays)
 
 
@@ -142,23 +159,13 @@ def load_params_into(path: str, target_params):
     return result
 
 
-def save_msgpack(path: str, tree) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(jax.tree.map(np.asarray, tree)))
-
-
-def restore_msgpack(path: str, target):
-    with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
-
-
 def save_orbax(path: str, tree) -> None:
     """Orbax (tensorstore-backed) checkpoint of an array pytree — the
     TPU-native format for large/sharded params: per-array chunked storage,
-    OCDBT, restores straight to sharded device arrays on a mesh. Use for
-    params/opt-state; the pickled episode sidecar (rehearsal memory index,
-    BwF history) stays in save_checkpoint."""
+    OCDBT, restores straight to sharded device arrays on a mesh. The
+    array backend of `save_checkpoint(arrays_format="orbax")`; the
+    structure manifest (rehearsal memory index, BwF history, scalars)
+    stays in the zip."""
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:

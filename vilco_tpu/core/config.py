@@ -203,6 +203,9 @@ class ModelConfig(_Base):
     remat_xl: bool = False
     xl_d_inner: int = 2048
     xl_mem_len: int = 256
+    # the XL stage's dropout comes from the xlnet json, NOT train_cfg
+    # (configs/xlnet_config_1024.json: dropout 0.1 at the flagship dims)
+    xl_dropout: float = 0.1
     n_txt_in: int = 768
     # derived from dataset at load time
     input_dim: int = 4096
@@ -383,6 +386,9 @@ class Config(_Base):
     """Top-level experiment configuration."""
 
     task: str = "mq"                # mq | nlq | vq
+    # array storage for task checkpoints: "npz" (single zip) or "orbax"
+    # (tensorstore/OCDBT dir — the TPU-native layout for large params)
+    ckpt_format: str = "npz"
     init_rand_seed: int = 0
     train_split: Tuple[str, ...] = ("train",)
     val_split: Tuple[str, ...] = ("val",)

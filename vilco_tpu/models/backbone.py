@@ -158,7 +158,7 @@ class ConvTransformerBackbone(nn.Module):
                 if cfg.remat_xl else XLRelAttention
             for i in range(cfg.xl_layers):
                 x = xl_cls(
-                    E, cfg.n_head, cfg.xl_d_inner,
+                    E, cfg.n_head, cfg.xl_d_inner, dropout=cfg.xl_dropout,
                     use_fused=_use_fused_xl(cfg), name=f"xl_{i}",
                 )(x, mask, deterministic)
         else:

@@ -63,21 +63,44 @@ def positional_encoding_3d(d_model: int, depth: int, height: int,
 
 
 class ConvBlock2D(nn.Module):
-    """conv3x3 + GroupNorm + leaky-relu (BasicBlock_Conv2D with BatchNorm in
-    the reference)."""
+    """conv3x3 + norm + leaky-relu (BasicBlock_Conv2D,
+    VQ/utils/model_utils.py:129-135, which uses BatchNorm2d).
+
+    norm="group" (default): GroupNorm — the TPU-native training choice (no
+    cross-device batch-stat sync; the reference needs SyncBatchNorm + DDP).
+    norm="frozen_bn": eval-mode BatchNorm semantics — per-channel
+    (x - mean) / sqrt(var + eps) * scale + bias with imported running
+    stats. This is EXACTLY what the reference computes at inference, so
+    checkpoints imported from torch reproduce its numerics bit-for-bit
+    (test_full_vq_forward_parity)."""
 
     features: int
     stride: int = 1
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
         dt = x.dtype
         x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     name="conv", dtype=dt)(x)
-        # GroupNorm stats in f32; cast BACK so bf16 compute survives the
-        # block (otherwise everything downstream silently runs f32)
-        x = nn.GroupNorm(num_groups=min(32, self.features), name="norm",
-                         dtype=jnp.float32)(x).astype(dt)
+        if self.norm == "frozen_bn":
+            f = (self.features,)
+            scale = self.param("bn_scale", nn.initializers.ones, f,
+                               jnp.float32)
+            bias = self.param("bn_bias", nn.initializers.zeros, f,
+                              jnp.float32)
+            mean = self.param("bn_mean", nn.initializers.zeros, f,
+                              jnp.float32)
+            var = self.param("bn_var", nn.initializers.ones, f, jnp.float32)
+            # fold into one multiply-add (torch BN eval, eps=1e-5)
+            mult = scale * jax.lax.rsqrt(var + 1e-5)
+            x = (x.astype(jnp.float32) * mult + (bias - mean * mult)
+                 ).astype(dt)
+        else:
+            # GroupNorm stats in f32; cast BACK so bf16 compute survives
+            # the block (otherwise everything downstream silently runs f32)
+            x = nn.GroupNorm(num_groups=min(32, self.features), name="norm",
+                             dtype=jnp.float32)(x).astype(dt)
         return nn.leaky_relu(x)
 
 
@@ -189,19 +212,22 @@ class AnchorHead(nn.Module):
     out_res: int = 16
     n_anchors: int = 12      # 4 base sizes x 3 aspect ratios
     dropout: float = 0.2
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         for i in range(int(math.log2(self.out_res // self.in_res))):
             x = nn.ConvTranspose(self.dim, (4, 4), strides=(2, 2),
                                  name=f"up_{i}", dtype=x.dtype)(x)
-        feat = ConvBlock2D(2 * self.dim, name="in_conv")(x)
+        feat = ConvBlock2D(2 * self.dim, norm=self.norm, name="in_conv")(x)
         feat_reg, feat_cls = jnp.split(feat, 2, axis=-1)
         feat_reg = nn.Dropout(self.dropout)(feat_reg, deterministic=deterministic)
         feat_cls = nn.Dropout(self.dropout)(feat_cls, deterministic=deterministic)
         for i in range(3):
-            feat_reg = ConvBlock2D(self.dim, name=f"reg_{i}")(feat_reg)
-            feat_cls = ConvBlock2D(self.dim, name=f"cls_{i}")(feat_cls)
+            feat_reg = ConvBlock2D(self.dim, norm=self.norm,
+                                   name=f"reg_{i}")(feat_reg)
+            feat_cls = ConvBlock2D(self.dim, norm=self.norm,
+                                   name=f"cls_{i}")(feat_cls)
         zinit = nn.initializers.normal(1e-6)
         out_reg = nn.Conv(self.n_anchors * 4, (3, 3), name="reg_head",
                           kernel_init=zinit, bias_init=zinit,
@@ -249,23 +275,34 @@ class ClipMatcher(nn.Module):
     # every shipped config) — pass `query_frame_bbox` (normalized xyxy)
     # to __call__ when enabled
     use_query_roi: bool = False
+    # conv-block normalization: "group" (TPU-native training default) or
+    # "frozen_bn" (eval-mode BatchNorm for torch-checkpoint inference
+    # parity — see ConvBlock2D)
+    norm: str = "group"
+    # the reference's MAE backbone path bilinearly resizes the ViT patch
+    # grid to (16, 16) before the reduce stack (:351) and skips the ViT's
+    # final LayerNorm (mae.py forward_features); None = use the native
+    # grid with the final norm (DINO/DINOv2 semantics)
+    interp_feat_to: Optional[int] = None
+    vit_final_norm: bool = True
 
     def setup(self):
         self.backbone = ViT(self.patch_size, self.vit_dim, self.vit_depth,
                             self.vit_heads, use_fused=self.use_fused,
                             attn_impl=self.vit_attn_impl,
-                            use_fused_mlp=self.use_fused_mlp)
-        self.reduce1 = ConvBlock2D(self.dim, name="reduce1")
-        self.reduce2 = ConvBlock2D(self.dim, name="reduce2")
+                            use_fused_mlp=self.use_fused_mlp,
+                            final_norm=self.vit_final_norm)
+        self.reduce1 = ConvBlock2D(self.dim, norm=self.norm, name="reduce1")
+        self.reduce2 = ConvBlock2D(self.dim, norm=self.norm, name="reduce2")
         self.cq_corr = DecoderLayer(self.dim, 4, 4 * self.dim,
                                     use_fused=self.use_fused,
                                     name="cq_corr")
-        feat_res = self.clip_size // self.patch_size
+        feat_res = self.interp_feat_to or (self.clip_size // self.patch_size)
         self.n_down = max(0, int(math.log2(max(
             feat_res // self.resolution_transformer, 1
         ))))
         self.down_heads = [
-            ConvBlock2D(self.dim, stride=2, name=f"down_{i}")
+            ConvBlock2D(self.dim, stride=2, norm=self.norm, name=f"down_{i}")
             for i in range(self.n_down)
         ]
         self.st_layers = [
@@ -274,7 +311,7 @@ class ClipMatcher(nn.Module):
         ]
         self.head = AnchorHead(
             self.dim, self.resolution_transformer,
-            self.resolution_anchor_feat, name="head",
+            self.resolution_anchor_feat, norm=self.norm, name="head",
         )
         anchors = generate_anchors(self.clip_size,
                                    self.resolution_anchor_feat)
@@ -290,6 +327,12 @@ class ClipMatcher(nn.Module):
 
     def extract(self, images):
         feats = self.backbone(images)
+        if self.interp_feat_to:
+            # F.interpolate(..., mode='bilinear') with the torch default
+            # align_corners=False == jax.image.resize half-pixel centers
+            B, _, _, C = feats.shape
+            S = self.interp_feat_to
+            feats = jax.image.resize(feats, (B, S, S, C), "bilinear")
         if self.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
         return feats

@@ -491,10 +491,12 @@ class XLRelAttention(nn.Module):
         # post-attention projection + FF, module instances shared between
         # the h and g streams (XLNetLayer applies the same layer_norm/ff
         # to both, modeling_xlnet_x.py:428-470)
-        ln_attn = nn.LayerNorm(name="ln_attn", dtype=x.dtype)
+        # layer_norm_eps=1e-12 in every shipped xlnet_config_*.json (the
+        # flax default 1e-6 measurably moves a lockstep trajectory)
+        ln_attn = nn.LayerNorm(name="ln_attn", dtype=x.dtype, epsilon=1e-12)
         ff1 = nn.Dense(self.d_inner, name="ff1", dtype=x.dtype)
         ff2 = nn.Dense(self.d_model, name="ff2", dtype=x.dtype)
-        ln_ff = nn.LayerNorm(name="ln_ff", dtype=x.dtype)
+        ln_ff = nn.LayerNorm(name="ln_ff", dtype=x.dtype, epsilon=1e-12)
 
         def post(inp, vec):
             o = jnp.einsum("bqhd,chd->bqc", vec, o_w)

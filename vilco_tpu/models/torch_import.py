@@ -379,6 +379,193 @@ def load_torch_nlq_point_transformer(state_dict, cfg, params_template):
 
 
 def state_dict_to_numpy(module) -> Dict[str, np.ndarray]:
-    """torch nn.Module -> {name: np.ndarray} (detached, cpu)."""
-    return {k: v.detach().cpu().numpy()
+    """torch nn.Module -> {name: np.ndarray} (detached, cpu). COPIES:
+    .numpy() alone aliases the live parameters, so an optimizer.step()
+    after the snapshot would silently rewrite it (the trajectory-parity
+    lockstep snapshots start weights, then trains the torch model)."""
+    return {k: v.detach().cpu().numpy().copy()
             for k, v in module.state_dict().items()}
+
+
+# --------------------------------------------------------- VQ ClipMatcher
+
+def _conv2d_w(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d (Cout, Cin, kh, kw) -> flax (kh, kw, Cin, Cout)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _convT2d_w(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (Cin, Cout, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, Cin, Cout). flax's conv_transpose correlates the
+    UN-flipped kernel while torch convolves, so the spatial dims flip."""
+    return np.ascontiguousarray(
+        np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)))
+
+
+def _third_w(i: int) -> Callable:
+    """Row-third of a packed torch in_proj_weight (3C, C), transposed to
+    a Dense kernel (C, C)."""
+    def tf(w):
+        c = w.shape[0] // 3
+        return np.transpose(w[i * c:(i + 1) * c])
+    return tf
+
+
+def _third_b(i: int) -> Callable:
+    def tf(b):
+        c = b.shape[0] // 3
+        return np.asarray(b[i * c:(i + 1) * c])
+    return tf
+
+
+def _frozen_bn_rules(ours: str, ref: str) -> Dict[str, Tuple[str, Callable]]:
+    """ConvBlock2D(norm="frozen_bn") <- torch BatchNorm2d running stats."""
+    return {
+        f"{ours}/bn_scale": (f"{ref}.weight", _id),
+        f"{ours}/bn_bias": (f"{ref}.bias", _id),
+        f"{ours}/bn_mean": (f"{ref}.running_mean", _id),
+        f"{ours}/bn_var": (f"{ref}.running_var", _id),
+    }
+
+
+def _conv_block_rules(ours: str, ref_conv: str,
+                      ref_bn: str) -> Dict[str, Tuple[str, Callable]]:
+    r = {
+        f"{ours}/conv/kernel": (f"{ref_conv}.weight", _conv2d_w),
+        f"{ours}/conv/bias": (f"{ref_conv}.bias", _id),
+    }
+    r.update(_frozen_bn_rules(ours, ref_bn))
+    return r
+
+
+def _vit_rules(depth: int) -> Dict[str, Tuple[str, Callable]]:
+    """timm/DINO/MAE ViT state_dict -> models/vit.py param paths. The
+    final `norm` is intentionally absent: the reference MAE path's
+    forward_features skips it (VQ/model/mae.py:21-34), matching
+    ViT(final_norm=False)."""
+    r = {
+        "backbone/patch_embed/kernel":
+            ("backbone.patch_embed.proj.weight", _conv2d_w),
+        "backbone/patch_embed/bias": ("backbone.patch_embed.proj.bias", _id),
+        "backbone/cls_token": ("backbone.cls_token", _id),
+        "backbone/pos_embed": ("backbone.pos_embed", _id),
+    }
+    for i in range(depth):
+        o, p = f"backbone/block_{i}", f"backbone.blocks.{i}"
+        r.update({
+            f"{o}/norm1/scale": (f"{p}.norm1.weight", _id),
+            f"{o}/norm1/bias": (f"{p}.norm1.bias", _id),
+            f"{o}/qkv/kernel": (f"{p}.attn.qkv.weight", _dense_from_linear),
+            f"{o}/qkv/bias": (f"{p}.attn.qkv.bias", _id),
+            f"{o}/proj/kernel": (f"{p}.attn.proj.weight", _dense_from_linear),
+            f"{o}/proj/bias": (f"{p}.attn.proj.bias", _id),
+            f"{o}/norm2/scale": (f"{p}.norm2.weight", _id),
+            f"{o}/norm2/bias": (f"{p}.norm2.bias", _id),
+            f"{o}/fc1/kernel": (f"{p}.mlp.fc1.weight", _dense_from_linear),
+            f"{o}/fc1/bias": (f"{p}.mlp.fc1.bias", _id),
+            f"{o}/fc2/kernel": (f"{p}.mlp.fc2.weight", _dense_from_linear),
+            f"{o}/fc2/bias": (f"{p}.mlp.fc2.bias", _id),
+        })
+    return r
+
+
+def _mha_rules(ours: str, ref: str) -> Dict[str, Tuple[str, Callable]]:
+    """torch nn.MultiheadAttention -> our q/k/v/o Dense quartet."""
+    r = {}
+    for i, part in enumerate("qkv"):
+        r[f"{ours}_{part}/kernel"] = (f"{ref}.in_proj_weight", _third_w(i))
+        r[f"{ours}_{part}/bias"] = (f"{ref}.in_proj_bias", _third_b(i))
+    r[f"{ours}_o/kernel"] = (f"{ref}.out_proj.weight", _dense_from_linear)
+    r[f"{ours}_o/bias"] = (f"{ref}.out_proj.bias", _id)
+    return r
+
+
+def _ln_rules(ours: str, ref: str) -> Dict[str, Tuple[str, Callable]]:
+    return {f"{ours}/scale": (f"{ref}.weight", _id),
+            f"{ours}/bias": (f"{ref}.bias", _id)}
+
+
+def vq_clip_matcher_rules(vit_depth: int, n_down: int, n_st: int,
+                          n_up: int) -> Dict[str, Tuple[str, Callable]]:
+    """Full reference ClipMatcher state_dict
+    (VQ/model/corr_clip_spatial_transformer2_anchor_2heads_hnm.py:137-576)
+    -> models/clip_matcher.py param paths (norm="frozen_bn").
+
+    Reference modules with no counterpart in the forward path are simply
+    not mapped: query_down_heads (built :165-174, never called), the
+    down_heads beyond the break at resolution_transformer (:422-430), and
+    the backbone's final norm (mae forward_features skips it)."""
+    r = _vit_rules(vit_depth)
+    # reduce stack: Sequential(conv, bn, lrelu, conv, bn, lrelu) :177-184
+    r.update(_conv_block_rules("reduce1", "reduce.0", "reduce.1"))
+    r.update(_conv_block_rules("reduce2", "reduce.3", "reduce.4"))
+    # CQ decoder layer (torch TransformerDecoderLayer) :187-199
+    cq = "CQ_corr_transformer.0"
+    r.update(_mha_rules("cq_corr/self", f"{cq}.self_attn"))
+    r.update(_mha_rules("cq_corr/cross", f"{cq}.multihead_attn"))
+    r.update({
+        "cq_corr/ff1/kernel": (f"{cq}.linear1.weight", _dense_from_linear),
+        "cq_corr/ff1/bias": (f"{cq}.linear1.bias", _id),
+        "cq_corr/ff2/kernel": (f"{cq}.linear2.weight", _dense_from_linear),
+        "cq_corr/ff2/bias": (f"{cq}.linear2.bias", _id),
+    })
+    for i in range(1, 4):
+        r.update(_ln_rules(f"cq_corr/norm{i}", f"{cq}.norm{i}"))
+    # spatial downsample heads (only the applied ones) :201-211
+    for i in range(n_down):
+        r.update(_conv_block_rules(f"down_{i}", f"down_heads.{i}.0",
+                                   f"down_heads.{i}.1"))
+    r["pe_3d"] = ("pe_3d", _id)
+    # spatio-temporal encoder layers (torch TransformerEncoderLayer)
+    for i in range(n_st):
+        o, p = f"st_{i}", f"feat_corr_transformer.{i}"
+        r.update({
+            f"{o}/qkv/kernel": (f"{p}.self_attn.in_proj_weight",
+                                _dense_from_linear),
+            f"{o}/qkv/bias": (f"{p}.self_attn.in_proj_bias", _id),
+            f"{o}/proj/kernel": (f"{p}.self_attn.out_proj.weight",
+                                 _dense_from_linear),
+            f"{o}/proj/bias": (f"{p}.self_attn.out_proj.bias", _id),
+            f"{o}/ff1/kernel": (f"{p}.linear1.weight", _dense_from_linear),
+            f"{o}/ff1/bias": (f"{p}.linear1.bias", _id),
+            f"{o}/ff2/kernel": (f"{p}.linear2.weight", _dense_from_linear),
+            f"{o}/ff2/bias": (f"{p}.linear2.bias", _id),
+        })
+        r.update(_ln_rules(f"{o}/norm1", f"{p}.norm1"))
+        r.update(_ln_rules(f"{o}/norm2", f"{p}.norm2"))
+    # anchor head (Head :509-576)
+    for i in range(n_up):
+        r[f"head/up_{i}/kernel"] = (f"head.up_convs.{i}.weight", _convT2d_w)
+        r[f"head/up_{i}/bias"] = (f"head.up_convs.{i}.bias", _id)
+    r.update(_conv_block_rules("head/in_conv", "head.in_conv.0",
+                               "head.in_conv.1"))
+    for i in range(3):
+        r.update(_conv_block_rules(f"head/reg_{i}",
+                                   f"head.regression_conv.{i}.0",
+                                   f"head.regression_conv.{i}.1"))
+        r.update(_conv_block_rules(f"head/cls_{i}",
+                                   f"head.classification_conv.{i}.0",
+                                   f"head.classification_conv.{i}.1"))
+    r.update({
+        "head/reg_head/kernel": ("head.regression_head.weight", _conv2d_w),
+        "head/reg_head/bias": ("head.regression_head.bias", _id),
+        "head/cls_head/kernel": ("head.classification_head.weight",
+                                 _conv2d_w),
+        "head/cls_head/bias": ("head.classification_head.bias", _id),
+    })
+    return r
+
+
+def load_torch_clip_matcher(state_dict, model, params_template):
+    """Port a reference VQ ClipMatcher state_dict onto a params template
+    from ``ClipMatcher(norm="frozen_bn", ...).init(...)["params"]``."""
+    feat_res = model.interp_feat_to or (model.clip_size // model.patch_size)
+    rules = vq_clip_matcher_rules(
+        vit_depth=model.vit_depth,
+        n_down=max(0, int(np.log2(
+            max(feat_res // model.resolution_transformer, 1)))),
+        n_st=model.num_transformer,
+        n_up=int(np.log2(model.resolution_anchor_feat
+                         // model.resolution_transformer)),
+    )
+    return fill_from_rules(params_template, state_dict, rules)

@@ -136,6 +136,11 @@ class ViT(nn.Module):
     use_fused: bool = False     # fused attention kernels (TPU only)
     attn_impl: str = "pallas"   # "pallas" | "flash" (see ViTBlock)
     use_fused_mlp: bool = False  # opt-in fused MLP kernel (see ViTBlock)
+    # DINO's get_intermediate_layers applies the final LayerNorm to the
+    # returned tokens; the MAE-path forward_features override does NOT
+    # (VQ/model/mae.py:21-34 returns x straight after the blocks) —
+    # final_norm=False reproduces that
+    final_norm: bool = True
 
     @nn.compact
     def __call__(self, images):
@@ -167,7 +172,8 @@ class ViT(nn.Module):
                          name=f"block_{i}")(x)
         if pad:
             x = x[:, :L]
-        x = nn.LayerNorm(name="norm", dtype=x.dtype)(x)
+        if self.final_norm:
+            x = nn.LayerNorm(name="norm", dtype=x.dtype)(x)
         return x[:, 1:].reshape(B, hh, ww, self.dim)
 
 

@@ -584,6 +584,7 @@ class VQEpisodeRunner:
             save_checkpoint(
                 os.path.join(self.workdir, f"vq_task_{j:03d}.ckpt"),
                 {"params": self.params, "task": j},
+                arrays_format=self.cfg.ckpt_format,
             )
             results["tasks"].append(
                 {"task": j, "train": train_stats, "eval": eval_stats}

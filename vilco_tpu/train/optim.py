@@ -19,14 +19,41 @@ import optax
 from vilco_tpu.core.config import OptCfg
 
 
+# the reference's catch-all group (train_utils.py:104-110 remain_params,
+# wired with weight_decay :126-130): per-class Gaussian params fall through
+# every named rule and DO decay
+_GAUSSIAN_DECAY = ("mu", "sigma", "mu_reg_left", "mu_reg_right",
+                   "sigma_reg_left", "sigma_reg_right")
+
+
 def weight_decay_mask(params) -> Any:
-    """True where weight decay applies: only conv/dense kernels
-    (train_utils.py:84-118's whitelist/blacklist split)."""
+    """True where weight decay applies — the reference's exact grouping
+    (make_optimizer, MQ/libs/utils/train_utils.py:68-146):
+
+    decay: conv/dense kernels (whitelist :76), XL rel-attention q/k/v/r/o
+    projections ('xlnet' non-norm rule :86-87), plus two catch-all-group
+    quirks — the channel-attention LayerNorms (torch-native nn.LayerNorm,
+    absent from the blacklist of custom LayerNorm+GroupNorm :77, so their
+    weights fall to the decayed remain group) and the per-class Gaussians.
+
+    no-decay: biases, every other norm scale, Scale/AffineDropPath scales,
+    rel PE, XL r_w/r_r biases. Pinned against the live reference grouping
+    in test_training_trajectory_parity."""
 
     def mask_fn(path, leaf):
-        names = [p.key for p in path if hasattr(p, "key")]
+        names = [str(getattr(p, "key", p)) for p in path]
         leafname = names[-1] if names else ""
-        return leafname == "kernel" and leaf.ndim >= 2
+        if leafname == "kernel" and leaf.ndim >= 2:
+            return True
+        if (len(names) == 1 and leafname in _GAUSSIAN_DECAY):
+            return True
+        if any(n.startswith("xl_") for n in names) and leafname in (
+                "q", "k", "v", "r", "o"):
+            return True
+        if ("channel_attn" in names and leafname == "scale"
+                and names[-2].startswith("norm")):
+            return True
+        return False
 
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
@@ -70,26 +97,39 @@ def make_compute_copy(params, mask=None):
 
 
 def make_schedule(cfg: OptCfg, steps_per_epoch: int) -> optax.Schedule:
+    """Per-iteration LR schedule with the reference's EXACT closed forms
+    (MQ/libs/utils/lr_schedulers.py): linear warmup reaches peak at step
+    `warmup_steps - 1` (the torch scheduler divides by warmup-1, :112),
+    then cosine eta_min + (peak-eta_min)(1+cos(pi t))/2 over
+    (epochs+warmup)*spe total steps, or multi-step decay
+    peak * gamma^bisect_right(milestones, step - warmup) (:205-210) with
+    milestones in post-warmup iterations. Pinned step-by-step against the
+    live torch schedulers in test_training_trajectory_parity."""
+    peak = cfg.learning_rate
     total = cfg.epochs * steps_per_epoch
     warmup = cfg.warmup_epochs * steps_per_epoch if cfg.warmup else 0
+    max_steps = total + warmup
     if cfg.schedule_type == "cosine":
-        return optax.warmup_cosine_decay_schedule(
-            init_value=0.0,
-            peak_value=cfg.learning_rate,
-            warmup_steps=max(warmup, 1),
-            decay_steps=max(total + warmup, warmup + 1),
-            end_value=cfg.eta_min,
-        )
+        eta = cfg.eta_min
+
+        def sched(step):
+            s = jnp.asarray(step, jnp.float32)
+            warm = peak * s / max(warmup - 1, 1)
+            t = (s - warmup) / max(max_steps - warmup, 1)
+            cos = eta + 0.5 * (peak - eta) * (1.0 + jnp.cos(jnp.pi * t))
+            return jnp.where(s < warmup, warm, cos)
+
+        return sched
     # multistep (LinearWarmupMultiStepLR, lr_schedulers.py:123-211)
-    boundaries = {
-        warmup + s * steps_per_epoch: cfg.schedule_gamma
-        for s in cfg.schedule_steps
-    }
-    step_fn = optax.piecewise_constant_schedule(cfg.learning_rate, boundaries)
+    ms = jnp.asarray(sorted(s * steps_per_epoch
+                            for s in cfg.schedule_steps), jnp.float32)
 
     def sched(step):
-        warm = cfg.learning_rate * jnp.minimum(step / max(warmup, 1), 1.0)
-        return jnp.where(step < warmup, warm, step_fn(step))
+        s = jnp.asarray(step, jnp.float32)
+        warm = peak * s / max(warmup - 1, 1)
+        k = jnp.sum(ms <= (s - warmup))
+        return jnp.where(s < warmup, warm,
+                         peak * cfg.schedule_gamma ** k)
 
     return sched
 
