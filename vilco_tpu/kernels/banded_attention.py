@@ -51,12 +51,14 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, w: int, block_q: int):
     v = v_ref[0, pl.ds(start, span), :]
     m = m_ref[0, 0, pl.ds(start, span)]            # (span,)
 
+    # MXU operands stay in the input dtype (bf16 hot path) with f32
+    # accumulation; softmax stays f32 (see kernels/attention.py note)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     s = jax.lax.dot_general(
-        q.astype(jnp.float32) * scale, k.astype(jnp.float32),
+        q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                              # (BQ, span)
+    ) * scale                                      # (BQ, span) f32
 
     qi = jax.lax.broadcasted_iota(jnp.int32, (block_q, span), 0)
     kj = jax.lax.broadcasted_iota(jnp.int32, (block_q, span), 1)
@@ -69,9 +71,9 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, w: int, block_q: int):
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = p / denom
 
-    vz = v.astype(jnp.float32) * (m[:, None] > 0)
+    vz = v * (m[:, None] > 0).astype(v.dtype)
     o = jax.lax.dot_general(
-        p, vz, dimension_numbers=(((1,), (0,)), ((), ())),
+        p.astype(v.dtype), vz, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = o.astype(o_ref.dtype)

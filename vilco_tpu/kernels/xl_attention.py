@@ -66,12 +66,18 @@ def _keep_mask(shape, rate):
 
 
 def _scores(q_ref, k_ref, r_ref, rwb_ref, rrb_ref, m_ref, *, T, S, scale):
-    """Shared fwd/bwd score computation: returns (P, vmask_row) in f32."""
-    q = q_ref[0, 0].astype(jnp.float32)             # (S, D)
-    k = k_ref[0, 0].astype(jnp.float32)             # (T, D)
-    r = r_ref[0].astype(jnp.float32)                # (2T, D)
-    rwb = rwb_ref[0, 0].astype(jnp.float32)         # (D,)
-    rrb = rrb_ref[0, 0].astype(jnp.float32)
+    """Shared fwd/bwd score computation: returns (P, vmask_row) in f32.
+
+    MXU dots take the INPUT dtype operands (bf16 on the flagship) with f32
+    accumulation — measured 16% MXU with pre-dot f32 casts (f32 MXU runs at
+    ~1/4 bf16 throughput on v5e); softmax stays f32, which is strictly MORE
+    precise than the XLA path (softmax in x.dtype, layers.py rel_core).
+    """
+    q = q_ref[0, 0]                                 # (S, D) input dtype
+    k = k_ref[0, 0]                                 # (T, D)
+    r = r_ref[0]                                    # (2T, D)
+    rwb = rwb_ref[0, 0]                             # (D,)
+    rrb = rrb_ref[0, 0]
     m = m_ref[0, 0]                                  # (T,) int32
 
     i0 = pl.program_id(2) * S
@@ -102,10 +108,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, r_ref, rwb_ref, rrb_ref,
             * pl.num_programs(2) + pl.program_id(2)
         pltpu.prng_seed(seed_ref[0], pid)
         p = jnp.where(_keep_mask(p.shape, rate), p / (1.0 - rate), 0.0)
-    v = v_ref[0, 0].astype(jnp.float32)
-    vz = v * (m[:, None] > 0)
+    v = v_ref[0, 0]
+    vz = v * (m[:, None] > 0).astype(v.dtype)
     o = jax.lax.dot_general(
-        p, vz, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        p.astype(v.dtype), vz, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
@@ -126,28 +133,33 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, r_ref, rwb_ref, rrb_ref,
     else:
         pd = p
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    r = r_ref[0].astype(jnp.float32)
-    rwb = rwb_ref[0, 0].astype(jnp.float32)
-    rrb = rrb_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    vz = v * (m[:, None] > 0)
+    # MXU operands stay in the input dtype (bf16 on the flagship) with f32
+    # accumulation — mirrors the autodiff of the bf16 XLA path and runs the
+    # MXU at full bf16 throughput; no-op for the f32 parity tests.
+    dt = q_ref.dtype
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    r = r_ref[0]
+    rwb = rwb_ref[0, 0]
+    rrb = rrb_ref[0, 0]
+    do = do_ref[0, 0]
+    vz = v * (m[:, None] > 0).astype(v.dtype)
     i0 = pl.program_id(2) * S
 
     dv = jax.lax.dot_general(
-        pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * (m[:, None] > 0)                             # (T, D)
+        pd.astype(dt), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (m[:, None] > 0)                             # (T, D) f32
     dpd = jax.lax.dot_general(
         do, vz, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )                                                # (S, T)
+    )                                                # (S, T) f32
     if rate > 0.0:
         dp = jnp.where(keep, dpd / (1.0 - rate), 0.0)
     else:
         dp = dpd
     dpre = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    d_ac = dpre * scale                              # (S, T)
+    d_ac = (dpre * scale).astype(dt)                 # (S, T)
 
     # inverse relative shift: scatter d_bd back to raw coordinates.
     # Forward rolled row i by (T + i0 + i); the inverse shift -(T + i0 + i)
