@@ -159,18 +159,22 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, r_ref, rwb_ref, rrb_ref,
     else:
         dp = dpd
     dpre = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    d_ac = (dpre * scale).astype(dt)                 # (S, T)
+    d_ac_f32 = dpre * scale                          # (S, T) f32
+    d_ac = d_ac_f32.astype(dt)
 
     # inverse relative shift: scatter d_bd back to raw coordinates.
     # Forward rolled row i by (T + i0 + i); the inverse shift -(T + i0 + i)
     # is expressed with non-negative stride as stride = 2T - 1 === -1
     # (mod 2T) (Mosaic rejects row reversal and negative strides).
+    # The roll stays in f32: Mosaic's dynamic_rotate only supports 32-bit
+    # element types ("Rotate with non-32-bit data" otherwise); cast to the
+    # input dtype after, for the MXU dots.
     dbd_pad = jnp.concatenate(
-        [d_ac, jnp.zeros((S, T), d_ac.dtype)], axis=1
+        [d_ac_f32, jnp.zeros((S, T), jnp.float32)], axis=1
     )                                                # (S, 2T)
     base = jnp.mod(T - i0, 2 * T)
     d_raw = pltpu.roll(dbd_pad, base, axis=1, stride=2 * T - 1,
-                       stride_axis=0)
+                       stride_axis=0).astype(dt)
 
     t1 = jax.lax.dot_general(                        # ac path: d_ac @ k
         d_ac, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
