@@ -390,6 +390,58 @@ def test_xlnet_mems_recurrence_parity(ref, rng):
     np.testing.assert_allclose(np.asarray(o2), _np(t_o2), atol=TOL)
 
 
+def test_xlnet_segment_attention_parity(ref, rng):
+    """XLNet's segment attention (seg_mat / r_s_bias / seg_embed ef term,
+    modeling_xlnet_x.py:291-295): our seg_ids path against the vendored
+    XLNetModel driven with token_type_ids, both single-chunk and across a
+    mems-recurrence step (mems take segment id 0, :1214-1216). Dead in
+    the MQ backbone config but reproduced for full XLNet-stage parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.models.layers import XLRelAttention, xl_cache_mems
+
+    cfgd = dict(attn_type="bi", bi_data=False, clamp_len=-1, d_head=8,
+                d_inner=64, d_model=32, dropout=0.0, ff_activation="gelu",
+                layer_norm_eps=1e-12, mem_len=16, model_type="xlnet",
+                n_head=4, n_layer=1, untie_r=True, reuse_len=None,
+                same_length=False, vocab_size=1000)
+    xl_cfg = ref.modeling.modeling_xlnet_x.XLNetConfig.from_dict(cfgd)
+    model = ref.modeling.modeling_xlnet_x.XLNetModel(xl_cfg).eval()
+
+    B, T, C = 2, 12, 32
+    x1 = rng.standard_normal((B, T, C), dtype=np.float32)
+    x2 = rng.standard_normal((B, T, C), dtype=np.float32)
+    seg1 = rng.integers(0, 2, (B, T)).astype(np.int64)
+    seg2 = rng.integers(0, 2, (B, T)).astype(np.int64)
+    full = np.ones((B, T), np.int64)
+    with torch.no_grad():
+        out1 = model(inputs_embeds=torch.from_numpy(x1),
+                     attention_mask=torch.from_numpy(full),
+                     token_type_ids=torch.from_numpy(seg1), use_mems=True)
+        t_o1, t_mems = out1[0], out1[1]
+        out2 = model(inputs_embeds=torch.from_numpy(x2),
+                     attention_mask=torch.from_numpy(full),
+                     token_type_ids=torch.from_numpy(seg2),
+                     mems=t_mems, use_mems=True)
+        t_o2 = out2[0]
+
+    ours = XLRelAttention(d_model=C, n_head=4, d_inner=64, dropout=0.0)
+    mask = np.ones((B, T), bool)
+    tmpl = ours.init(jax.random.PRNGKey(0), x1, mask,
+                     seg_ids=jnp.asarray(seg1))["params"]
+    params = fill_from_rules(tmpl, _prefixed_sd(model, "m"),
+                             _xl_rules("m.layer.0"))
+
+    o1 = ours.apply({"params": params}, x1, mask,
+                    seg_ids=jnp.asarray(seg1))
+    np.testing.assert_allclose(np.asarray(o1), _np(t_o1), atol=TOL)
+    mems = xl_cache_mems(None, jnp.asarray(x1), mem_len=16)
+    o2 = ours.apply({"params": params}, x2, mask, mems=mems,
+                    seg_ids=jnp.asarray(seg2))
+    np.testing.assert_allclose(np.asarray(o2), _np(t_o2), atol=TOL)
+
+
 def test_xlnet_two_stream_parity(ref, rng):
     """XLNet's two-stream (query-stream) attention: our g path against the
     vendored XLNetModel driven pretraining-style with perm_mask +

@@ -395,9 +395,13 @@ class XLRelAttention(nn.Module):
     post-attention LayerNorm and the FF with the h stream (as in
     XLNetLayer), and the call returns `(h_out, g_out)`. The reference MQ
     backbone only ever invokes the single-stream path (PARITY.md); the
-    two-stream core is reproduced for full XLNet-stage parity. Segment
-    attention (seg_mat/r_s_bias) stays out of scope — dead in the
-    reference config (untie_r bi attention, no token_type_ids).
+    two-stream core is reproduced for full XLNet-stage parity.
+
+    Segment attention (modeling_xlnet_x.py:291-295): pass `seg_ids`
+    (B, T) int token-type ids and the score gains the ef term —
+    (q + r_s_bias) · seg_embed[same/diff segment] — with mems counted as
+    segment 0 (the reference's mem_pad, :1214-1222). Dead in the shipped
+    MQ config (no token_type_ids) but reproduced for full parity.
 
     Mask conventions (OURS, boolean allow-masks — the reference uses
     float 1=masked): `mask`/`mems_mask` are (B, T)/(B, M) valid-token
@@ -418,7 +422,7 @@ class XLRelAttention(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic=True, mems=None,
                  mems_mask=None, g=None, g_attn_mask=None,
-                 target_mapping=None, h_attn_mask=None):
+                 target_mapping=None, h_attn_mask=None, seg_ids=None):
         B, T, C = x.shape
         H = self.n_head
         D = C // H
@@ -463,6 +467,21 @@ class XLRelAttention(nn.Module):
         v = jnp.einsum("btc,chd->bthd", cat, v_w)
         r = jnp.einsum("tc,chd->thd", pos_emb, r_w)
 
+        if seg_ids is not None:
+            # segment attention (rel_attn_core ef term,
+            # modeling_xlnet_x.py:291-295); mems take segment id 0
+            # (mem_pad, :1214-1216)
+            r_s_bias = self.param(
+                "r_s_bias", nn.initializers.normal(0.02), (H, D),
+                jnp.float32).astype(x.dtype)
+            seg_embed = self.param(
+                "seg_embed", nn.initializers.normal(0.02), (2, H, D),
+                jnp.float32).astype(x.dtype)
+            cat_ids = seg_ids if M == 0 else jnp.concatenate(
+                [jnp.zeros((B, M), seg_ids.dtype), seg_ids], axis=1)
+            # True = different segment (the reference's seg_mat[..., 1])
+            seg_diff = seg_ids[:, :, None] != cat_ids[:, None, :]
+
         def rel_core(qh, allow_qk):
             # rel_attn_core (modeling_xlnet_x.py:270-320) for a (B, T, H,
             # D) query head; allow_qk optionally restricts per-(q, k)
@@ -478,7 +497,15 @@ class XLRelAttention(nn.Module):
             bd = bd.reshape(B, H, K + T, T)[:, :, 1:, :]
             bd = bd.reshape(B, H, T, K + T - 1)[:, :, :, :K]
 
-            att = (ac + bd) * scale
+            s = ac + bd
+            if seg_ids is not None:
+                # ef[b,h,q,k] = (qh + r_s_bias) · seg_embed[diff(q,k)] —
+                # the reference's one-hot seg_mat matmul selects exactly
+                ef_all = jnp.einsum("bqhd,shd->bhqs",
+                                    qh + r_s_bias[None, None], seg_embed)
+                s = s + jnp.where(seg_diff[:, None],
+                                  ef_all[..., 1:], ef_all[..., :1])
+            att = s * scale
             allow = kv_mask[:, None, None, :]
             if allow_qk is not None:
                 allow = allow & allow_qk[:, None]
@@ -509,7 +536,7 @@ class XLRelAttention(nn.Module):
             return ln_ff(y + f)
 
         if (self.use_fused and M == 0 and g is None
-                and h_attn_mask is None):
+                and h_attn_mask is None and seg_ids is None):
             from vilco_tpu.kernels.xl_attention import xl_rel_attention
 
             rate = 0.0 if deterministic else self.dropout

@@ -125,6 +125,10 @@ def _xl_rules(ref: str) -> Dict[str, Tuple[str, Callable]]:
         r[n] = (f"{ref}.rel_attn.{n}", _id)
     r["r_w_bias"] = (f"{ref}.rel_attn.r_w_bias", _id)
     r["r_r_bias"] = (f"{ref}.rel_attn.r_r_bias", _id)
+    # segment-attention params exist only when the layer is driven with
+    # seg_ids; extra rules are ignored for templates without them
+    r["r_s_bias"] = (f"{ref}.rel_attn.r_s_bias", _id)
+    r["seg_embed"] = (f"{ref}.rel_attn.seg_embed", _id)
     r["ln_attn/scale"] = (f"{ref}.rel_attn.layer_norm.weight", _id)
     r["ln_attn/bias"] = (f"{ref}.rel_attn.layer_norm.bias", _id)
     r["ff1/kernel"] = (f"{ref}.ff.layer_1.weight", _dense_from_linear)
