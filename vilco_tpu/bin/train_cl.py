@@ -276,7 +276,8 @@ def main(argv=None):
                 vqc = vqc.updated(num_frames=args.vq_window)
         # init_rand_seed (and therefore --seed) drives the VQ runner too:
         # model init, batch order, augmentation, rehearsal memory
-        vq_kw = {"seed": cfg.init_rand_seed}
+        vq_kw = {"seed": cfg.init_rand_seed,
+                 "ckpt_format": cfg.ckpt_format}
         if vqc is not None:
             vq_kw.update(
                 model_cfg=vqc, batch_size=vqc.batch_size, lr=vqc.lr,

@@ -230,7 +230,8 @@ class VQEpisodeRunner:
                  model_cfg=None, vit_ckpt: str = "",
                  weight_decay: float = 1e-4,
                  positive_threshold: float = 0.2, positive_topk: int = 5,
-                 accumulation_steps: int = 1, persist_config: bool = True):
+                 accumulation_steps: int = 1, persist_config: bool = True,
+                 ckpt_format: str = "npz"):
         self.stream = stream
         self.source = source
         self.workdir = workdir
@@ -246,6 +247,7 @@ class VQEpisodeRunner:
         self.seed = seed
         self.use_hnm = use_hnm
         self.augment = augment
+        self.ckpt_format = ckpt_format
         # inference windows batched per jitted call (fixed chunk size ->
         # one compile; bounds host+device memory on long real clips)
         self.eval_windows = eval_windows
@@ -584,7 +586,7 @@ class VQEpisodeRunner:
             save_checkpoint(
                 os.path.join(self.workdir, f"vq_task_{j:03d}.ckpt"),
                 {"params": self.params, "task": j},
-                arrays_format=self.cfg.ckpt_format,
+                arrays_format=self.ckpt_format,
             )
             results["tasks"].append(
                 {"task": j, "train": train_stats, "eval": eval_stats}
