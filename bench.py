@@ -306,9 +306,12 @@ def parse_args(argv=None):
                    help="opt-in fused ViT MLP kernel for --model vq "
                         "(measured 430.7 vs 418.8 ms/step — see RESULTS)")
     p.add_argument("--nu-bf16", action="store_true",
-                   help="Adam second moment STORED in bfloat16 (computed "
-                        "in f32; FusedAdamW only — quality-gate on the CL "
-                        "ladder before defaulting, see RESULTS)")
+                   help="Adam second moment STORED in bfloat16 (the "
+                        "default since round 3; flag kept for script "
+                        "compat)")
+    p.add_argument("--nu-f32", action="store_true",
+                   help="Adam second moment in float32 (exact reference "
+                        "AdamW state precision)")
     p.add_argument("--params-bf16", action="store_true",
                    help="persistent bf16 compute copy of the matmul "
                         "kernels + bf16 grads, f32 AdamW master (standard "
@@ -398,6 +401,8 @@ def run_one(args):
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype="float32"))
     if args.nu_bf16:
         cfg = cfg.updated(opt=cfg.opt.updated(nu_dtype="bfloat16"))
+    if args.nu_f32:
+        cfg = cfg.updated(opt=cfg.opt.updated(nu_dtype="float32"))
     if args.params_bf16:
         cfg = cfg.updated(
             opt=cfg.opt.updated(param_compute_dtype="bfloat16"))

@@ -323,7 +323,9 @@ def test_fused_adamw_matches_optax_chain():
         "b": {"bias": jnp.asarray(rng.standard_normal((4,), np.float32))},
     }
     for mu in ("float32", "bfloat16"):
-        cfg = OptCfg(mu_dtype=mu)
+        # nu pinned f32: this test checks exact math equivalence against
+        # the optax chain, which has no second-moment dtype control
+        cfg = OptCfg(mu_dtype=mu, nu_dtype="float32")
         tx, sched = make_optimizer(cfg, params, steps_per_epoch=10)
         assert isinstance(tx, FusedAdamW)   # default-on
         ref = tx._chain
@@ -351,11 +353,11 @@ def test_fused_adamw_matches_optax_chain():
 
 
 def test_fused_adamw_nu_bf16_storage():
-    """nu_dtype=bfloat16 stores the second moment in bf16 (init + every
-    step) while the update math stays in f32: the parameter trajectory must
-    stay close to the f32-state trajectory over several steps, and the
-    non-fused optax path must reject the flag (it has no nu dtype
-    control)."""
+    """nu_dtype=bfloat16 (the default since round 3) stores the second
+    moment in bf16 (init + every step) while the update math stays in
+    f32: the parameter trajectory must stay close to the f32-state
+    trajectory over several steps, and the non-fused optax path must
+    warn and keep f32 storage (optax has no nu dtype control)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -374,7 +376,7 @@ def test_fused_adamw_nu_bf16_storage():
     # assertion would be vacuous
     mk = lambda **kw: OptCfg(warmup=False, learning_rate=1e-2, **kw)
     tx_bf, _ = make_optimizer(mk(nu_dtype="bfloat16"), params, 10)
-    tx_f32, _ = make_optimizer(mk(), params, 10)
+    tx_f32, _ = make_optimizer(mk(nu_dtype="float32"), params, 10)
     assert isinstance(tx_bf, FusedAdamW)
     s_bf, s_f32 = tx_bf.init(params), tx_f32.init(params)
     for leaf in jax.tree.leaves(s_bf[0].nu):
@@ -409,9 +411,17 @@ def test_fused_adamw_nu_bf16_storage():
     _, s_upd = tx_bf.update(g, s_bf, p_bf)
     for leaf in jax.tree.leaves(s_upd[0].nu):
         assert leaf.dtype == jnp.bfloat16
-    with pytest.raises(ValueError, match="FusedAdamW"):
-        make_optimizer(OptCfg(nu_dtype="bfloat16", fused_apply=False),
-                       params, 10)
+    # non-fused path: warns and keeps f32 storage (downgrade, not error —
+    # bf16 nu is the config default and must not break --factored/--flatten)
+    with pytest.warns(UserWarning, match="FusedAdamW"):
+        tx_plain, _ = make_optimizer(
+            OptCfg(nu_dtype="bfloat16", fused_apply=False), params, 10)
+    s_plain = tx_plain.init(params)
+    nus = [s.nu for s in jax.tree.leaves(
+        s_plain, is_leaf=lambda x: hasattr(x, "nu")) if hasattr(s, "nu")]
+    assert nus, "optax adam state not found"
+    for leaf in jax.tree.leaves(nus):
+        assert leaf.dtype == jnp.float32
 
 
 def test_params_bf16_compute_overlay():

@@ -1484,7 +1484,7 @@ def test_training_trajectory_parity(ref, rng, tmp_path, monkeypatch):
         "opt": {"type": "adamw", "learning_rate": LR, "weight_decay": WD,
                 "warmup": True, "warmup_epochs": WARM_EP,
                 "epochs": EPOCHS, "schedule_type": "cosine",
-                "mu_dtype": "float32"},
+                "mu_dtype": "float32", "nu_dtype": "float32"},
     }).derived()
     model = PointTransformer(cfg.model, cfg.cl_cfg)
     b0 = batches[0]

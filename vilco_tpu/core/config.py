@@ -296,12 +296,14 @@ class OptCfg(_Base):
     # the second moment stays f32 for stability. Set "float32" for exact
     # reference AdamW state precision.
     mu_dtype: str = "bfloat16"
-    # Adam second-moment storage dtype (FusedAdamW only; the update is
-    # computed in f32 and the state cast on store). OPT-IN: bf16 halves
-    # nu-state HBM traffic but an EMA with beta2=0.999 needs ~10 mantissa
-    # bits to register small increments, so quality must be re-validated
-    # per workload (the synthetic CL ladder is the gate — RESULTS.md).
-    nu_dtype: str = "float32"
+    # Adam second-moment storage dtype (honored by FusedAdamW; the update
+    # is computed in f32 and the state cast on store). Default bfloat16
+    # since round 3: halves nu-state HBM traffic on the bandwidth-bound
+    # step (129.4 -> 130.6 clips/s) and is quality-neutral across a
+    # 4-seed synthetic CL ladder (RESULTS.md round 3). Set "float32" for
+    # exact reference AdamW state precision; non-fused optimizer paths
+    # (factored / flatten / non-adamw) always keep f32.
+    nu_dtype: str = "bfloat16"
     # "factored" swaps the full second moment for Adafactor-style row/col
     # statistics (optax.scale_by_factored_rms) — cuts optimizer-state HBM
     # traffic ~2x on the bandwidth-bound flagship step; opt-in because it

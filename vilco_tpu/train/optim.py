@@ -10,6 +10,7 @@ linear-warmup + cosine (or multi-step) schedules
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 import jax
@@ -140,11 +141,13 @@ def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
             and cfg.second_moment != "factored" and not cfg.flatten):
         return FusedAdamW(cfg, params, sched), sched
     if cfg.nu_dtype == "bfloat16":
-        raise ValueError(
-            "nu_dtype=bfloat16 requires the FusedAdamW path "
-            "(adamw + fused_apply, non-factored, non-flatten): optax's "
-            "scale_by_adam has no second-moment dtype control"
-        )
+        # optax's scale_by_adam has no second-moment dtype control, so the
+        # non-fused paths (factored / flatten / non-adamw) keep nu in f32.
+        # Downgrade instead of raising: nu_dtype defaults to bfloat16
+        # since round 3 and must not break the opt-in optimizer variants.
+        warnings.warn(
+            "nu_dtype=bfloat16 is only honored on the FusedAdamW path; "
+            "this optimizer keeps the second moment in float32")
     if cfg.param_compute_dtype == "bfloat16":
         raise ValueError(
             "param_compute_dtype=bfloat16 requires the FusedAdamW path "
