@@ -491,19 +491,24 @@ def test_params_bf16_compute_overlay():
             np.testing.assert_allclose(float(m1["final_loss"]),
                                        float(m0["final_loss"]), rtol=1e-6)
         if i == 1:
-            # after the FIRST REAL update (the cosine schedule warms up
-            # from lr=0, so step 1 moves nothing) the masters differ
-            # only by the bf16 grad rounding through Adam (|u| <= ~1,
-            # rel err ~0.4% -> |dp| << lr); later steps diverge
-            # chaotically through sqrt(v)
+            # Trajectory bound, not a tight pin: the schedule's reference
+            # closed form (round-3 parity fix) runs the FIRST step at full
+            # lr, where bias-corrected Adam is a pure sign step — and the
+            # overlay arm's grads come from bf16 backprop, so coordinates
+            # with |g| below the bf16 backprop noise legitimately flip
+            # update sign. Each arm's per-step |u| <= ~(1 + wd|p|), so
+            # after 2 steps the arms can differ by at most ~2 full
+            # opposite-sign updates; a double-apply / dtype-contamination
+            # bug would blow well past this.
             moved = max(float(jnp.abs(jnp.asarray(a) - b).max())
                         for a, b in zip(jax.tree.leaves(s0.params),
                                         jax.tree.leaves(params_np)))
             assert moved > 1e-3, moved
+            lr_bound = 2 * 2 * 1e-2 * 1.2  # steps x arms x lr x wd-slack
             for a, b in zip(jax.tree.leaves(s1.params),
                             jax.tree.leaves(s0.params)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                           rtol=0, atol=2e-3)
+                                           rtol=0, atol=lr_bound)
         # losses stay finite and track loosely across steps
         assert np.isfinite(float(m1["final_loss"]))
         np.testing.assert_allclose(float(m1["final_loss"]),

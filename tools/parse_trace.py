@@ -44,31 +44,72 @@ def device_pids(events) -> set:
     return pids
 
 
+def xla_op_lanes(events) -> set:
+    """(pid, tid) pairs whose thread is the per-op lane ('XLA Ops'),
+    excluding the 'Steps' / 'XLA Modules' container lanes that mirror
+    the whole dispatch as one event."""
+    lanes = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            if "xla ops" in e.get("args", {}).get("name", "").lower():
+                lanes.add((e.get("pid"), e.get("tid")))
+    return lanes
+
+
+def self_times(events):
+    """Per-event SELF duration on one lane: events nest (a fusion/region
+    row spans its children), so attributing raw durations double-counts
+    — sort by (ts, -dur), maintain the containment stack, and subtract
+    each child's span from its parent. Totals then sum to the true
+    device-busy time (interval union)."""
+    evs = sorted(events, key=lambda e: (e["ts"], -e.get("dur", 0)))
+    out = []  # (event, self_dur_us)
+    stack = []  # indices into out
+    for e in evs:
+        ts, dur = e["ts"], e.get("dur", 0)
+        while stack and ts >= out[stack[-1]][0]["ts"] + \
+                out[stack[-1]][0].get("dur", 0) - 1e-9:
+            stack.pop()
+        out.append([e, float(dur)])
+        if stack:
+            out[stack[-1]][1] -= dur
+        stack.append(len(out) - 1)
+    return out
+
+
 # container/meta rows that would double-count their children if summed
 _CONTAINER_PREFIXES = ("jit(", "jit_", "pjit", "XLA Modules", "Steps",
                        "while", "body", "condition")
 
 # rollup buckets for the full-step accounting table (--categories).
 # Matched in order against "tf_op | hlo name" lowercased; first hit wins.
+# Keys reflect this repo's module names (PointTransformer flagship).
 _CATEGORIES = (
-    ("pallas_xl_attention", ("xl_attention", "xl_rel")),
-    ("pallas_fused_attention", ("fused_attention", "attention_kernel",
+    ("pallas_xl_attention", ("xl_rel_attention",)),
+    ("pallas_fused_attention", ("fused_attention", "banded_attention",
                                 "flash")),
-    ("detection_heads", ("cls_head", "reg_head", "head/")),
-    ("ffn_matmul", ("mlp", "ffn", "fc1", "fc2", "dense")),
-    ("attention_xla", ("attn", "attention", "softmax")),
-    ("conv_stem_branch", ("conv", "stem", "branch", "embd")),
-    ("matmul_other", ("dot", "einsum", "matmul")),
+    ("detection_heads", ("cls_head", "reg_head", "/offsets", "/logits")),
+    ("ffn_matmul", ("mlp_fc", "ff1", "ff2", "channel_attn")),
+    ("qkv_proj_matmul", ("qkv", "/proj", "btc,chd", "bthd,hdc",
+                         "r_proj", "txt_proj")),
+    ("attention_xla", ("attn", "softmax", "bhqk", "bqhd")),
+    ("conv_embed_branch", ("conv_general", "embd", "branch", "depthwise",
+                           "downsample", "stem")),
     ("optimizer", ("adam", "optimizer", "opt_update", "fusedadam",
-                   "update_step", "clip_by_global_norm", "global_norm")),
-    ("norm", ("layer_norm", "layernorm", "group_norm", "rsqrt", "norm")),
-    ("loss_assign", ("loss", "label", "assign", "iou", "focal", "one_hot",
-                     "sigmoid", "log1p")),
+                   "update_step", "clip_by_global_norm", "global_norm",
+                   "sched")),
+    ("norm", ("layer_norm", "layernorm", "group_norm", "ln_", "/ln",
+              "rsqrt")),
+    ("loss_assign_decode", ("loss", "label", "assign", "iou", "focal",
+                            "one_hot", "log1p", "take_along_axis",
+                            "cumsum", "sort", "top_k", "nms")),
     ("copy_reshape_transpose", ("copy", "reshape", "transpose", "slice",
                                 "concatenate", "pad", "gather", "scatter",
                                 "dynamic-update", "bitcast", "broadcast")),
-    ("elementwise_fusion", ("fusion", "add", "mul", "sub", "div", "select",
-                            "convert", "exp", "tanh", "max", "min", "cmp")),
+    ("convert_dtype", ("convert_element_type", "convert")),
+    ("scan_while_overhead", ("while", "body", "condition", "iota",
+                             "select_n")),
+    ("matmul_other", ("dot_general", "einsum", "matmul")),
     ("infeed_outfeed_host", ("infeed", "outfeed", "host", "transfer")),
 )
 
@@ -88,25 +129,22 @@ def main():
     top_n = int(argv[1]) if len(argv) > 1 else 25
     path, events = load_events(trace_dir)
     pids = device_pids(events)
+    lanes = xla_op_lanes(events)
+    raw = [e for e in events
+           if e.get("ph") == "X"
+           and (not pids or e.get("pid") in pids)
+           and (not lanes or (e.get("pid"), e.get("tid")) in lanes)]
     per_op = collections.defaultdict(lambda: [0.0, 0])
     total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or (pids and e.get("pid") not in pids):
-            continue
+    for e, self_us in self_times(raw):
         name = e.get("name", "")
-        # leaf device ops carry tf_op; fall back to the HLO name for the
-        # rest (fusions etc.) so the table accounts for the WHOLE step,
-        # but skip container rows (jit_*, while, per-dispatch frames)
-        # that would double-count their children
-        op = e.get("args", {}).get("tf_op")
-        if not op:
-            if any(name.startswith(p) for p in _CONTAINER_PREFIXES):
-                continue
-            op = name
+        # group by tf_op (source attribution) with the HLO name as the
+        # fallback; SELF time only, so nested rows don't double-count
+        op = e.get("args", {}).get("tf_op") or name
         if not op:
             continue
         key = f"{op} | {name}" if by_cat else op
-        dur = e.get("dur", 0) / 1e3  # us -> ms
+        dur = self_us / 1e3  # us -> ms
         per_op[key][0] += dur
         per_op[key][1] += 1
         total += dur
