@@ -449,8 +449,12 @@ def run_one(args):
             **init_kw,
         )["params"]
     params = jax.device_put(params, accel)
+    from vilco_tpu.train.engine import cast_input_features
+
     batch = jax.device_put(
-        {k: jnp.asarray(v) for k, v in batch_np.items()}, accel
+        {k: jnp.asarray(v) for k, v in
+         cast_input_features(batch_np, cfg.model.compute_dtype).items()},
+        accel,
     )
     n_params = sum(x.size for x in jax.tree.leaves(params))
 
@@ -496,7 +500,10 @@ def run_one(args):
     # pre-build distinct batches so the loop isn't one cached input
     # (with accumulation, one step consumes A micro-batches of B clips)
     def fresh_batch():
-        b = make_batch(rng, B * A, cfg)
+        from vilco_tpu.train.engine import cast_input_features
+
+        b = cast_input_features(make_batch(rng, B * A, cfg),
+                                cfg.model.compute_dtype)
         return {k: jnp.asarray(v) for k, v in b.items()}
 
     if K > 1:

@@ -30,7 +30,8 @@ with jax.default_device(cpu):
 state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state,
                    loss_normalizer=jnp.asarray(100.0, jnp.float32), rng=jax.random.PRNGKey(1))
 cl = CLBatchExtras(class_mask=jnp.ones((cfg.model.num_classes,), bool))
-kb = jax.tree.map(lambda *xs: jnp.stack(xs), *[{k: jnp.asarray(v) for k, v in make_batch(rng, B, cfg).items()} for _ in range(K)])
+from vilco_tpu.train.engine import cast_input_features
+kb = jax.tree.map(lambda *xs: jnp.stack(xs), *[{k: jnp.asarray(v) for k, v in cast_input_features(make_batch(rng, B, cfg), cfg.model.compute_dtype).items()} for _ in range(K)])
 accel = jax.devices()[0]
 state = jax.device_put(state, accel); kb = jax.device_put(kb, accel)
 cl = jax.device_put(cl, accel)

@@ -58,6 +58,7 @@ from vilco_tpu.ops.decode import decode_and_nms_batch
 from vilco_tpu.train.engine import (
     CLBatchExtras,
     TrainState,
+    cast_input_features,
     init_adapter_ema,
     make_eval_step,
     make_train_step,
@@ -230,6 +231,10 @@ class EpisodeRunner:
 
     def _to_device(self, batch, is_training: bool = True):
         batch = {k: v for k, v in batch.items() if k != "video_idx"}
+        # bf16 feature tensors leave the host already cast: bit-identical
+        # to the in-step convert (the model casts on entry either way),
+        # half the transfer bytes, and no device convert pass
+        batch = cast_input_features(batch, self.cfg.model.compute_dtype)
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         from vilco_tpu.parallel.mesh import batch_shardings, replicated

@@ -20,6 +20,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.core import FrozenDict
@@ -223,6 +224,26 @@ def _ring_update(bank, ptr, feats, valid):
     bank = bank.at[idx].set(feats, mode="drop")
     new_ptr = (ptr + jnp.sum(valid.astype(jnp.int32))) % M
     return bank, new_ptr
+
+
+def cast_input_features(batch, compute_dtype: str):
+    """Host-side cast of the float input-feature tensors (feats/txt) to
+    the model compute dtype BEFORE device transfer. The model consumes
+    them at that dtype anyway, so the numerics are bit-identical to the
+    on-device convert this replaces — but the convert was 2.44 ms per
+    4-step dispatch on the flagship (a (4,16,1024,4096) f32→bf16 pass,
+    RESULTS.md round-3 accounting) and the f32 transfer was 2x the
+    bytes. Labels/segments/masks stay untouched (the loss is f32)."""
+    if compute_dtype != "bfloat16":
+        return batch
+    import ml_dtypes
+
+    out = dict(batch)
+    for k in ("feats", "text", "narration"):
+        v = out.get(k)
+        if v is not None and np.asarray(v).dtype == np.float32:
+            out[k] = np.asarray(v).astype(ml_dtypes.bfloat16)
+    return out
 
 
 def reg_penalty(params, fisher, optpar, lam):
