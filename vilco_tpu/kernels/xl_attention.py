@@ -162,19 +162,27 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, r_ref, rwb_ref, rrb_ref,
     d_ac_f32 = dpre * scale                          # (S, T) f32
     d_ac = d_ac_f32.astype(dt)
 
-    # inverse relative shift: scatter d_bd back to raw coordinates.
-    # Forward rolled row i by (T + i0 + i); the inverse shift -(T + i0 + i)
-    # is expressed with non-negative stride as stride = 2T - 1 === -1
-    # (mod 2T) (Mosaic rejects row reversal and negative strides).
-    # The roll stays in f32: Mosaic's dynamic_rotate only supports 32-bit
-    # element types ("Rotate with non-32-bit data" otherwise); cast to the
-    # input dtype after, for the MXU dots.
+    # inverse relative shift: scatter d_bd back to raw coordinates,
+    # d_raw[i, m] = dbd_pad[i, (m + T + g) mod 2T] with g = i0 + i.
+    # Mosaic's STRIDED dynamic_rotate (stride = 2T - 1 === -1 mod 2T)
+    # MISCOMPILES on hardware — round-3 finding: dq rel err 68% on TPU
+    # while interpret mode is exact, and the minimal strided repro crashes
+    # the compiler. The per-row shift -(T + g) is instead decomposed into
+    # STATIC uniform rotates (verified exact on hardware): one roll by T
+    # (-T === +T mod 2T), then for each bit b of g a conditional roll by
+    # -(2^b), selected per row. log2(T)+1 VPU rotates of the (S, 2T) f32
+    # tile — noise next to the kernel's MXU dots.
     dbd_pad = jnp.concatenate(
         [d_ac_f32, jnp.zeros((S, T), jnp.float32)], axis=1
     )                                                # (S, 2T)
-    base = jnp.mod(T - i0, 2 * T)
-    d_raw = pltpu.roll(dbd_pad, base, axis=1, stride=2 * T - 1,
-                       stride_axis=0).astype(dt)
+    d_raw_f32 = pltpu.roll(dbd_pad, T, axis=1)
+    grow = i0 + jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    bit = 1
+    while bit < T:
+        rolled = pltpu.roll(d_raw_f32, 2 * T - bit, axis=1)
+        d_raw_f32 = jnp.where((grow & bit) != 0, rolled, d_raw_f32)
+        bit <<= 1
+    d_raw = d_raw_f32.astype(dt)
 
     t1 = jax.lax.dot_general(                        # ac path: d_ac @ k
         d_ac, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
