@@ -137,3 +137,62 @@ def test_fused_mlp_matches_reference(rng):
     g = jax.grad(lambda xx: fused_mlp(xx, w1, b1, w2, b2, True).sum())(x)
     gr = jax.grad(lambda xx: _ref_mlp(xx, w1, b1, w2, b2).sum())(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-3)
+
+
+def test_fused_attention_blc_matches_xla(rng, monkeypatch):
+    """Channels-last kernel (two D=64-style heads packed per 128-lane
+    program) == dense masked attention, values + grads."""
+    import vilco_tpu.kernels.attention as ka
+    from vilco_tpu.ops.attention import masked_attention
+
+    monkeypatch.setattr(ka, "_block_size", lambda T: 16)
+    B, T, H, D = 2, 64, 2, 64     # C=128: both heads in one program
+    C = H * D
+    q, k, v = (jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.asarray(np.arange(T)[None, :] < np.array([[T], [T - 9]]))
+    split = lambda x: x.reshape(B, T, H, D)
+    ref = masked_attention(split(q), split(k), split(v), mask)
+    out = ka.fused_attention_blc(q, k, v, mask, H, True)
+    m = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref).reshape(B, T, C) * m,
+        atol=2e-5)
+
+    def lf(q_, k_, v_):
+        o = ka.fused_attention_blc(q_, k_, v_, mask, H, True)
+        return jnp.sum((o * m) ** 2)
+
+    def lr(q_, k_, v_):
+        o = masked_attention(split(q_), split(k_), split(v_), mask)
+        return jnp.sum((o.reshape(B, T, C) * m) ** 2)
+
+    g1 = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_fused_attention_blc_wide_head(rng, monkeypatch):
+    """D=128 (one head per 128-lane program) and the unpackable-head
+    XLA fallback both match dense attention."""
+    import vilco_tpu.kernels.attention as ka
+    from vilco_tpu.ops.attention import masked_attention
+
+    monkeypatch.setattr(ka, "_block_size", lambda T: 16)
+    B, T = 1, 128
+    # kernel path (D=128) / unpackable-head fallback (D=24) /
+    # wider-than-block fallback (D=256 would span two 128-lane blocks)
+    for H, D in ((2, 128), (3, 24), (1, 256)):
+        C = H * D
+        assert ka._use_kernel_blc(
+            jnp.zeros((B, T, C)), jnp.zeros((B, T, C)), H) == (D == 128)
+        q, k, v = (jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+                   for _ in range(3))
+        mask = jnp.asarray(np.arange(T)[None, :] < T - 5)
+        split = lambda x: x.reshape(B, T, H, D)
+        ref = masked_attention(split(q), split(k), split(v), mask)
+        out = ka.fused_attention_blc(q, k, v, mask, H, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref).reshape(B, T, C), atol=2e-5,
+            err_msg=f"H={H} D={D}")

@@ -221,6 +221,218 @@ def _vjp_bwd(interpret, res, g):
 fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# channels-last variant: q/k/v stay (B, L, C)
+#
+# The folded layout above needs (B, L, H, D) -> (H, B, L, D) relayouts on
+# every operand and output; at the VQ ViT shape (D=64: the minor-dim split
+# 768 -> 12 x 64 is itself a relayout copy) those copies measured ~4 ms per
+# block x 12 blocks (round-3 trace). This variant consumes the qkv matmul
+# outputs DIRECTLY: blocks are 128 lanes wide (= two D=64 heads, or one
+# D=128 head) sliced straight out of the (B, L, C) array, heads split
+# in-register inside the kernel, and the output block is (S, 128) in the
+# same channels-last layout the proj matmul wants. No relayouts anywhere.
+
+
+def _fwd_kernel_blc(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, D):
+    m = m_ref[0, 0]                                   # (Tk,)
+    W = q_ref.shape[-1]
+    outs = []
+    for hh in range(W // D):
+        q = q_ref[0][:, hh * D:(hh + 1) * D]          # (S, D)
+        k = k_ref[0][:, hh * D:(hh + 1) * D]          # (Tk, D)
+        v = v_ref[0][:, hh * D:(hh + 1) * D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(m[None, :] > 0, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        vz = v * (m[:, None] > 0).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), vz, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[0] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _bwd_kernel_blc(q_ref, k_ref, v_ref, m_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, *, scale, D):
+    m = m_ref[0, 0]
+    dt = q_ref.dtype
+    W = q_ref.shape[-1]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dqs, dks, dvs = [], [], []
+    for hh in range(W // D):
+        sl = slice(hh * D, (hh + 1) * D)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(m[None, :] > 0, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        vz = v * (m[:, None] > 0).astype(v.dtype)
+
+        dv = jax.lax.dot_general(
+            p.astype(dt), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (m[:, None] > 0)
+        dp = jax.lax.dot_general(
+            do, vz, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(dt)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk)
+        dvs.append(dv)
+
+    cat = (lambda xs: xs[0] if len(xs) == 1
+           else jnp.concatenate(xs, axis=1))
+    dq_ref[0] = cat(dqs)
+    dk_ref[0] += cat(dks).astype(dk_ref.dtype)
+    dv_ref[0] += cat(dvs).astype(dv_ref.dtype)
+
+
+def _specs_blc(Tq, Tk, S):
+    qspec = pl.BlockSpec((1, S, 128), lambda hp, b, i: (b, i, hp),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, Tk, 128), lambda hp, b, i: (b, 0, hp),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, Tk), lambda hp, b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec, mspec
+
+
+def _run_fwd_blc(q, k, v, kv_mask, num_heads, interpret):
+    B, Tq, C = q.shape
+    Tk = k.shape[1]
+    D = C // num_heads
+    S = _block_size(Tq)
+    scale = 1.0 / (D ** 0.5)
+    mf = kv_mask.astype(jnp.int32)[:, None, :]
+    qspec, kspec, mspec = _specs_blc(Tq, Tk, S)
+    hp = C // 128
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_blc, scale=scale, D=D),
+        grid=(hp, B, Tq // S),
+        in_specs=[qspec, kspec, kspec, mspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, Tq, C), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        name="fused_attention_blc_fwd",
+    )(q, k, v, mf)
+    return out
+
+
+def _run_bwd_blc(q, k, v, kv_mask, num_heads, g, interpret):
+    B, Tq, C = q.shape
+    Tk = k.shape[1]
+    D = C // num_heads
+    S = _block_size(Tq)
+    scale = 1.0 / (D ** 0.5)
+    mf = kv_mask.astype(jnp.int32)[:, None, :]
+    qspec, kspec, mspec = _specs_blc(Tq, Tk, S)
+    hp = C // 128
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_blc, scale=scale, D=D),
+        grid=(hp, B, Tq // S),
+        in_specs=[qspec, kspec, kspec, mspec, qspec],
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tq, C), q.dtype),
+            jax.ShapeDtypeStruct((B, Tk, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, Tk, C), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        name="fused_attention_blc_bwd",
+    )(q, k, v, mf, g)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _use_kernel_blc(q, k, num_heads) -> bool:
+    B, Tq, C = q.shape
+    D = C // num_heads
+    # heads must pack exactly into the 128-lane block width (D in
+    # {1..128} dividing 128); wider heads would span block boundaries.
+    if C % 128 or D > 128 or 128 % D:
+        return False
+    return Tq >= 128 and k.shape[1] >= 128 and Tq % _block_size(Tq) == 0
+
+
+def _blc_xla(q, k, v, kv_mask, num_heads):
+    B, Tq, C = q.shape
+    D = C // num_heads
+    r = lambda x: x.reshape(x.shape[0], x.shape[1], num_heads, D)
+    out = masked_attention_xla(r(q), r(k), r(v), kv_mask)
+    return out.reshape(B, Tq, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention_blc(q, k, v, kv_mask, num_heads: int,
+                        interpret: bool = False):
+    """Fused masked attention over channels-last inputs.
+
+    q (B, Tq, C), k/v (B, Tk, C) with C = num_heads * head_dim — i.e. the
+    raw qkv matmul outputs, no (B, T, H, D) fold. kv_mask (B, Tk) bool.
+    Returns (B, Tq, C), directly consumable by the output projection.
+    Semantics identical to fused_attention / masked_attention (invalid
+    query rows not zeroed). Falls back to the XLA form when shapes don't
+    fit the kernel (short sequences, unpackable head_dim).
+    """
+    if not _use_kernel_blc(q, k, num_heads):
+        return _blc_xla(q, k, v, kv_mask, num_heads)
+    return _run_fwd_blc(q, k, v, kv_mask, num_heads, interpret)
+
+
+def _vjp_fwd_blc(q, k, v, kv_mask, num_heads, interpret):
+    return (fused_attention_blc(q, k, v, kv_mask, num_heads, interpret),
+            (q, k, v, kv_mask))
+
+
+def _vjp_bwd_blc(num_heads, interpret, res, g):
+    q, k, v, kv_mask = res
+    if not _use_kernel_blc(q, k, num_heads):
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _blc_xla(q_, k_, v_, kv_mask, num_heads),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
+    else:
+        dq, dk, dv = _run_bwd_blc(q, k, v, kv_mask, num_heads, g, interpret)
+    return dq, dk, dv, None
+
+
+fused_attention_blc.defvjp(_vjp_fwd_blc, _vjp_bwd_blc)
+
+
 def flash_attention_jax(q, k, v, kv_mask):
     """JAX's production TPU flash-attention kernel
     (jax.experimental.pallas.ops.tpu.flash_attention) with key-padding

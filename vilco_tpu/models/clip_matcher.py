@@ -122,16 +122,19 @@ class DecoderLayer(nn.Module):
             k = nn.Dense(C, name=f"{name}_k", dtype=x.dtype)(kv_in)
             v = nn.Dense(C, name=f"{name}_v", dtype=x.dtype)(kv_in)
             Lk = kv_in.shape[1]
-            q = q.reshape(B, Lq, H, C // H)
-            k = k.reshape(B, Lk, H, C // H)
-            v = v.reshape(B, Lk, H, C // H)
             if self.use_fused and Lq % 128 == 0 and Lk % 128 == 0:
-                from vilco_tpu.kernels.attention import fused_attention
+                # channels-last kernel: consumes the q/k/v matmul outputs
+                # directly, no (B, L, H, D) fold relayouts (see
+                # kernels/attention.py::fused_attention_blc)
+                from vilco_tpu.kernels.attention import fused_attention_blc
 
-                o = fused_attention(
-                    q, k, v, jnp.ones((B, Lk), bool)
-                )
+                o = fused_attention_blc(
+                    q, k, v, jnp.ones((B, Lk), bool), H
+                )   # (B, Lq, C) — the final reshape below is a no-op
             else:
+                q = q.reshape(B, Lq, H, C // H)
+                k = k.reshape(B, Lk, H, C // H)
+                v = v.reshape(B, Lk, H, C // H)
                 scale = (C // H) ** -0.5
                 a = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                                preferred_element_type=jnp.float32)

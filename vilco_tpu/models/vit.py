@@ -79,13 +79,14 @@ class ViTBlock(nn.Module):
         wqkv, bqkv = _DenseParams(3 * C, C, name="qkv")()
         wqkv = wqkv.astype(h.dtype)
         bqkv = bqkv.astype(h.dtype)
-        q = (h @ wqkv[:, :C] + bqkv[:C]).reshape(B, L, H, C // H)
-        k = (h @ wqkv[:, C:2 * C] + bqkv[C:2 * C]).reshape(B, L, H, C // H)
-        v = (h @ wqkv[:, 2 * C:] + bqkv[2 * C:]).reshape(B, L, H, C // H)
+        q = h @ wqkv[:, :C] + bqkv[:C]                 # (B, L, C)
+        k = h @ wqkv[:, C:2 * C] + bqkv[C:2 * C]
+        v = h @ wqkv[:, 2 * C:] + bqkv[2 * C:]
+        split = lambda x_: x_.reshape(B, L, H, C // H)
         if self.use_fused:
             from vilco_tpu.kernels.attention import (
                 flash_attention_jax,
-                fused_attention,
+                fused_attention_blc,
             )
 
             assert self.attn_impl in ("pallas", "flash"), self.attn_impl
@@ -98,18 +99,23 @@ class ViTBlock(nn.Module):
                 jnp.arange(L)[None, :] < valid, (B, L)
             )
             if self.attn_impl == "flash":
-                out = flash_attention_jax(q, k, v, kv_mask)
+                out = flash_attention_jax(split(q), split(k), split(v),
+                                          kv_mask).reshape(B, L, C)
             else:
-                out = fused_attention(q, k, v, kv_mask)
+                # channels-last kernel: consumes the qkv matmul outputs
+                # directly and returns (B, L, C) — removes the
+                # (B,L,H,64) split + (H,B,L,D) fold relayouts that
+                # measured ~4 ms per block at the flagship shape
+                out = fused_attention_blc(q, k, v, kv_mask, H)
         else:
             scale = (C // H) ** -0.5
-            att = jnp.einsum("blhd,bmhd->bhlm", q * scale, k,
+            att = jnp.einsum("blhd,bmhd->bhlm", split(q) * scale, split(k),
                              preferred_element_type=jnp.float32)
             att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
-            out = jnp.einsum("bhlm,bmhd->blhd", att, v,
+            out = jnp.einsum("bhlm,bmhd->blhd", att, split(v),
                              preferred_element_type=jnp.float32
-                             ).astype(x.dtype)
-        out = nn.Dense(C, name="proj", dtype=x.dtype)(out.reshape(B, L, C))
+                             ).astype(x.dtype).reshape(B, L, C)
+        out = nn.Dense(C, name="proj", dtype=x.dtype)(out)
         x = x + out
         h = nn.LayerNorm(name="norm2", dtype=x.dtype)(x)
         C_h = int(C * self.mlp_ratio)
