@@ -130,16 +130,18 @@ class MaskedMHA(nn.Module):
             kv_mask = mask
         B, Tq = q.shape[:2]
         Tk = k.shape[1]
-        q4 = q.reshape(B, Tq, H, D)
-        k4 = k.reshape(B, Tk, H, D)
-        v4 = v.reshape(B, Tk, H, D)
         if self.use_fused:
-            from vilco_tpu.kernels.attention import fused_attention
+            # channels-last kernel: consumes the q/k/v matmul outputs
+            # directly, no (B, T, H, D) fold relayouts; falls back to
+            # XLA attention when shapes don't fit the kernel
+            from vilco_tpu.kernels.attention import fused_attention_blc
 
-            out = fused_attention(q4, k4, v4, kv_mask)
+            out = fused_attention_blc(q, k, v, kv_mask, H)
         else:
-            out = masked_attention(q4, k4, v4, kv_mask)
-        out = out.reshape(B, Tq, self.n_embd)
+            out = masked_attention(q.reshape(B, Tq, H, D),
+                                   k.reshape(B, Tk, H, D),
+                                   v.reshape(B, Tk, H, D), kv_mask
+                                   ).reshape(B, Tq, self.n_embd)
         out = dense("proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out * mask[..., None].astype(out.dtype), mask
@@ -185,9 +187,13 @@ class MaskedMHCA(nn.Module):
 
         B, Tq = q.shape[:2]
         Tk = k.shape[1]
-        q = q.reshape(B, Tq, H, D)
-        k = k.reshape(B, Tk, H, D)
-        v = v.reshape(B, Tk, H, D)
+        blc = (self.use_fused and self.attention_impl != "pallas_naive"
+               and not (self.window > 0 and Tq == Tk)
+               and self.attention_impl != "flash")
+        if not blc:
+            q = q.reshape(B, Tq, H, D)
+            k = k.reshape(B, Tk, H, D)
+            v = v.reshape(B, Tk, H, D)
         if self.window > 0 and Tq == Tk:
             # the fused banded kernel needs Mosaic-alignable slices
             # (window multiple of 128); real configs use small windows
@@ -205,13 +211,19 @@ class MaskedMHCA(nn.Module):
 
             # invalid query rows are zeroed by the qx_mask multiply below
             out = flash_attention_jax(q, k, v, kv_mask)
-        elif self.use_fused or self.attention_impl == "pallas_naive":
+        elif blc:
+            # channels-last kernel: no (B, T, H, D) fold relayouts
+            from vilco_tpu.kernels.attention import fused_attention_blc
+
+            out = fused_attention_blc(q, k, v, kv_mask, H)
+        elif self.attention_impl == "pallas_naive":
             from vilco_tpu.kernels.attention import fused_attention
 
             out = fused_attention(q, k, v, kv_mask)
         else:
             out = masked_attention(q, k, v, kv_mask)
-        out = out.reshape(B, Tq, E)
+        if not blc:
+            out = out.reshape(B, Tq, E)
         out = nn.Dense(E, name="proj", dtype=x.dtype)(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out * q_mask[..., None].astype(out.dtype), q_mask
