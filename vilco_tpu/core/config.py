@@ -227,6 +227,11 @@ class ModelConfig(_Base):
     # MQ flagship shape. TPU-only (resolved off elsewhere); banded windows
     # stay on the XLA blocked form (see MaskedMHCA).
     fused_attention: bool = True
+    # fused depthwise q/k/v conv preprocessing (kernels/dwconv.py): one
+    # Pallas pass over x for all three MaskedMHCA convs, backward emits
+    # dx + all three wgrads in one pass. Stride-1 blocks only (stem);
+    # strided branch convs keep the XLA shifted-FMA form. TPU-only.
+    fused_conv: bool = True
     # attention implementation for dense self-attention: "xla" (batched
     # matmuls), "flash" (jax's TPU flash-attention pallas kernel),
     # "pallas_naive" (kernels/attention.py). Resolved to "xla" off-TPU.

@@ -48,6 +48,10 @@ def _use_fused_xl(cfg: ModelConfig) -> bool:
     return bool(cfg.fused_xl) and jax.default_backend() == "tpu"
 
 
+def _use_fused_conv(cfg: ModelConfig) -> bool:
+    return bool(cfg.fused_conv) and jax.default_backend() == "tpu"
+
+
 def _abs_pe_table(cfg: ModelConfig, T: int, deterministic: bool):
     """Sinusoid PE scaled by 1/sqrt(E) (backbones.py:61-63), length >= T.
 
@@ -127,6 +131,7 @@ class ConvTransformerBackbone(nn.Module):
                     proj_drop=cfg.dropout, path_drop=cfg.droppath,
                     t_c_alpha=cfg.t_c_alpha, use_cross_modal=False,
                     window=win, use_fused=_use_fused(cfg),
+                    use_fused_conv=_use_fused_conv(cfg),
                     attention_impl=_attn_impl(cfg), name=f"txt_stem_{i}",
                 )(src_query, src_query_mask, deterministic=deterministic)
 
@@ -137,6 +142,7 @@ class ConvTransformerBackbone(nn.Module):
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
                 window=win, use_fused=_use_fused(cfg),
+                use_fused_conv=_use_fused_conv(cfg),
                     attention_impl=_attn_impl(cfg), name=f"stem_{i}",
             )(x, mask, deterministic=deterministic)
 
@@ -167,6 +173,7 @@ class ConvTransformerBackbone(nn.Module):
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cfg.use_cross_modal,
                 window=win, use_fused=_use_fused(cfg),
+                use_fused_conv=_use_fused_conv(cfg),
                     attention_impl=_attn_impl(cfg), name="pre_branch",
             )(x, mask, deterministic=deterministic)
 
@@ -180,6 +187,7 @@ class ConvTransformerBackbone(nn.Module):
                 proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 t_c_alpha=cfg.t_c_alpha, use_cross_modal=cross,
                 window=win, use_fused=_use_fused(cfg),
+                use_fused_conv=_use_fused_conv(cfg),
                     attention_impl=_attn_impl(cfg),
                 adapter_t_in=t_cur if i in self.adapt_blocks else 0,
                 name=f"branch_{i}",
@@ -286,6 +294,7 @@ class DualTowerBackbone(nn.Module):
             proj_drop=cfg.dropout, path_drop=cfg.droppath,
             use_cross_modal=cross, use_channel_attn=False,
             window=win, use_fused=_use_fused(cfg),
+            use_fused_conv=_use_fused_conv(cfg),
             adapter_t_in=t_in, name=name,
         )
 
@@ -316,7 +325,8 @@ class DualTowerBackbone(nn.Module):
             text, text_mask = TransformerBlock(
                 E, cfg.n_head, proj_drop=cfg.dropout, path_drop=cfg.droppath,
                 use_cross_modal=False, use_channel_attn=False, window=-1,
-                use_fused=_use_fused(cfg), name=f"txt_stem_{i}",
+                use_fused=_use_fused(cfg),
+                use_fused_conv=_use_fused_conv(cfg), name=f"txt_stem_{i}",
             )(text, text_mask, deterministic=deterministic)
 
         for i in range(n_vid_stem):

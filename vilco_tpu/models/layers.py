@@ -61,6 +61,23 @@ class MaskedConv(nn.Module):
         )
 
 
+class _DWKernel(nn.Module):
+    """Bare depthwise-conv kernel param — same name/shape/init as
+    MaskedConv's, so the fused-conv path (kernels/dwconv.py) keeps the
+    exact param tree of the XLA path (checkpoints and the CPU-init twin
+    model stay interchangeable)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.he_uniform(),
+            (self.kernel_size, 1, self.features), jnp.float32,
+        )
+
+
 class LayerNormC(nn.Module):
     """Channel LayerNorm with affine params (blocks.py:133-175)."""
 
@@ -161,6 +178,7 @@ class MaskedMHCA(nn.Module):
     window: int = -1          # half-window for banded attention; <=0 dense
     proj_drop: float = 0.0
     use_fused: bool = False   # Pallas fused kernels (TPU)
+    use_fused_conv: bool = False  # Pallas fused depthwise q/k/v conv (TPU)
     attention_impl: str = "xla"
 
     @nn.compact
@@ -171,15 +189,37 @@ class MaskedMHCA(nn.Module):
         q_ks = self.n_qx_stride + 1 if self.n_qx_stride > 1 else 3
         kv_ks = self.n_kv_stride + 1 if self.n_kv_stride > 1 else 3
 
-        q, q_mask = MaskedConv(E, q_ks, stride=self.n_qx_stride, groups=E,
-                               use_bias=False, name="query_conv")(x, mask)
-        q = LayerNormC(name="query_norm")(q)
-        k, kv_mask = MaskedConv(E, kv_ks, stride=self.n_kv_stride, groups=E,
-                                use_bias=False, name="key_conv")(x, mask)
-        k = LayerNormC(name="key_norm")(k)
-        v, _ = MaskedConv(E, kv_ks, stride=self.n_kv_stride, groups=E,
-                          use_bias=False, name="value_conv")(x, mask)
-        v = LayerNormC(name="value_norm")(v)
+        if (self.use_fused_conv and self.n_qx_stride == 1
+                and self.n_kv_stride == 1):
+            # one Pallas pass over x computes all three depthwise convs;
+            # its backward emits dx + the three wgrads in one pass too
+            # (kernels/dwconv.py). Same math, mask multiply, and param
+            # tree as the MaskedConv path below.
+            from vilco_tpu.kernels.dwconv import fused_dwconv_qkv
+
+            wq = _DWKernel(E, q_ks, name="query_conv")()
+            wk = _DWKernel(E, kv_ks, name="key_conv")()
+            wv = _DWKernel(E, kv_ks, name="value_conv")()
+            w3 = jnp.stack([wq[:, 0], wk[:, 0], wv[:, 0]]).astype(x.dtype)
+            q, k, v = fused_dwconv_qkv(x, w3)
+            mm = mask[..., None].astype(q.dtype)
+            q, k, v = q * mm, k * mm, v * mm
+            q_mask = kv_mask = mask
+            q = LayerNormC(name="query_norm")(q)
+            k = LayerNormC(name="key_norm")(k)
+            v = LayerNormC(name="value_norm")(v)
+        else:
+            q, q_mask = MaskedConv(E, q_ks, stride=self.n_qx_stride,
+                                   groups=E, use_bias=False,
+                                   name="query_conv")(x, mask)
+            q = LayerNormC(name="query_norm")(q)
+            k, kv_mask = MaskedConv(E, kv_ks, stride=self.n_kv_stride,
+                                    groups=E, use_bias=False,
+                                    name="key_conv")(x, mask)
+            k = LayerNormC(name="key_norm")(k)
+            v, _ = MaskedConv(E, kv_ks, stride=self.n_kv_stride, groups=E,
+                              use_bias=False, name="value_conv")(x, mask)
+            v = LayerNormC(name="value_norm")(v)
 
         q = nn.Dense(E, name="query", dtype=x.dtype)(q)
         k = nn.Dense(E, name="key", dtype=x.dtype)(k)
@@ -310,6 +350,7 @@ class TransformerBlock(nn.Module):
     use_cross_modal: bool = False
     use_channel_attn: bool = True
     use_fused: bool = False    # Pallas fused attention kernels (TPU)
+    use_fused_conv: bool = False  # Pallas fused depthwise q/k/v conv (TPU)
     attention_impl: str = "xla"
     adapter_t_in: int = 0      # >0: attach TimeAdapter with this input length
 
@@ -323,6 +364,7 @@ class TransformerBlock(nn.Module):
         out, out_mask = MaskedMHCA(
             E, self.n_head, n_qx_stride=s, n_kv_stride=s, window=self.window,
             proj_drop=self.proj_drop, use_fused=self.use_fused,
+            use_fused_conv=self.use_fused_conv,
             attention_impl=self.attention_impl, name="attn",
         )(ln1, mask, deterministic=deterministic)
 
