@@ -299,6 +299,9 @@ def parse_args(argv=None):
     p.add_argument("--no-fused-xl", action="store_true",
                    help="disable the fused Pallas XL relative-attention "
                         "kernel (default on; 104 -> 74.7 ms/step)")
+    p.add_argument("--no-fused-conv", action="store_true",
+                   help="disable the fused depthwise q/k/v conv kernel "
+                        "(kernels/dwconv.py; default on)")
     p.add_argument("--mu-bf16", action="store_true",
                    help="Adam first moment in bfloat16 (the default since "
                         "round 2; flag kept for script compat)")
@@ -395,6 +398,8 @@ def run_one(args):
         cfg = cfg.updated(model=cfg.model.updated(attention_impl=args.attn))
     if args.no_fused_xl:
         cfg = cfg.updated(model=cfg.model.updated(fused_xl=False))
+    if args.no_fused_conv:
+        cfg = cfg.updated(model=cfg.model.updated(fused_conv=False))
     if args.mu_bf16:
         cfg = cfg.updated(opt=cfg.opt.updated(mu_dtype="bfloat16"))
     if args.mu_f32:
@@ -435,7 +440,7 @@ def run_one(args):
     # init with a fused-off twin (identical param tree; Pallas kernels hold
     # no params and can't trace on the CPU init device)
     init_model = PointTransformer(
-        cfg.model.updated(fused_attention=False, attention_impl="xla", fused_xl=False), cfg.cl_cfg
+        cfg.model.updated(fused_attention=False, fused_conv=False, attention_impl="xla", fused_xl=False), cfg.cl_cfg
     )
     init_kw = {}
     if "text" in batch_np:

@@ -6,7 +6,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vilco_tpu.kernels.dwconv import _use_kernel, _xla_ref, fused_dwconv_qkv
+from vilco_tpu.kernels.dwconv import (
+    _use_kernel,
+    _use_kernel_s2,
+    _xla_ref,
+    _xla_ref_s2,
+    fused_dwconv_qkv,
+    fused_dwconv_qkv_s2,
+)
 from vilco_tpu.ops.masked import masked_conv1d
 
 
@@ -102,16 +109,55 @@ def test_mhca_fused_conv_path_matches_default():
     np.testing.assert_allclose(out, out_f, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("stride", [2])
-def test_mhca_strided_keeps_masked_conv_path(stride):
+def test_s2_fwd_matches_masked_conv1d():
+    x, w = _inputs(B=2, T=256, C=128, seed=3)
+    assert _use_kernel_s2(x, w)
+    outs = fused_dwconv_qkv_s2(x, w, True)
+    mask = jnp.ones(x.shape[:2], bool)
+    for j, out in enumerate(outs):
+        ref, rm = masked_conv1d(x, mask, w[j][:, None, :], None, stride=2,
+                                groups=x.shape[-1])
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_s2_grads_match_xla_ref():
+    x, w = _inputs(B=3, T=256, C=128, seed=4)
+    gs = [jnp.asarray(np.random.default_rng(10 + i)
+                      .standard_normal((3, 128, 128)), jnp.float32)
+          for i in range(3)]
+
+    def loss(fn):
+        def f(x_, w_):
+            outs = fn(x_, w_)
+            return sum(jnp.sum(o * g) for o, g in zip(outs, gs))
+        return f
+
+    dx, dw = jax.grad(loss(lambda a, b: fused_dwconv_qkv_s2(a, b, True)),
+                      argnums=(0, 1))(x, w)
+    dx_r, dw_r = jax.grad(loss(_xla_ref_s2), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(dx, dx_r, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dw, dw_r, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("T", [64, 256])
+def test_mhca_strided_fused_matches_default(T):
+    """Strided MHCA with use_fused_conv (kernel route for T>=256,
+    XLA fallback below) matches the MaskedConv path."""
     from vilco_tpu.models.layers import MaskedMHCA
 
     rng = np.random.default_rng(7)
-    B, T, C = 2, 64, 128
+    B, C = 2, 128
     x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
-    mask = jnp.ones((B, T), bool)
-    m = MaskedMHCA(C, 4, n_qx_stride=stride, n_kv_stride=stride,
-                   use_fused_conv=True, name="attn")
-    params = m.init(jax.random.PRNGKey(0), x, mask)["params"]
-    out, om = m.apply({"params": params}, x, mask)
-    assert out.shape == (B, T // stride, C)
+    mask = jnp.asarray(rng.random((B, T)) > 0.2)
+    m_ref = MaskedMHCA(C, 4, n_qx_stride=2, n_kv_stride=2, name="attn")
+    m_fused = MaskedMHCA(C, 4, n_qx_stride=2, n_kv_stride=2,
+                         use_fused_conv=True, name="attn")
+    params = m_ref.init(jax.random.PRNGKey(0), x, mask)["params"]
+    params_f = m_fused.init(jax.random.PRNGKey(0), x, mask)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_f)
+    out, om = m_ref.apply({"params": params}, x, mask)
+    out_f, om_f = m_fused.apply({"params": params}, x, mask)
+    assert out.shape == (B, T // 2, C)
+    np.testing.assert_array_equal(om, om_f)
+    np.testing.assert_allclose(out, out_f, rtol=2e-5, atol=2e-5)

@@ -19,7 +19,7 @@ model = PointTransformer(cfg.model, cfg.cl_cfg)
 rng = np.random.default_rng(0)
 b = make_batch(rng, B, cfg)
 cpu = jax.devices("cpu")[0]
-init_model = PointTransformer(cfg.model.updated(fused_attention=False, attention_impl="xla", fused_xl=False), cfg.cl_cfg)
+init_model = PointTransformer(cfg.model.updated(fused_attention=False, fused_conv=False, attention_impl="xla", fused_xl=False), cfg.cl_cfg)
 with jax.default_device(cpu):
     params = init_model.init(jax.random.PRNGKey(0), jnp.asarray(b["feats"]), jnp.asarray(b["mask"]), deterministic=True)["params"]
 tx, _ = make_optimizer(cfg.opt, params, steps_per_epoch=100)

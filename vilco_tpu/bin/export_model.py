@@ -36,7 +36,7 @@ def export_forward(cfg, params, platforms=("tpu", "cpu")):
     # serving artifact: deterministic forward, XLA ops only (Pallas custom
     # calls are not portable across serialization targets)
     model = PointTransformer(
-        cfg.model.updated(fused_attention=False, attention_impl="xla",
+        cfg.model.updated(fused_attention=False, fused_conv=False, attention_impl="xla",
                           fused_xl=False),
         cfg.cl_cfg,
     )
@@ -188,7 +188,7 @@ def main(argv=None):
         from vilco_tpu.models.point_transformer import PointTransformer
 
         model = PointTransformer(
-            cfg.model.updated(fused_attention=False, attention_impl="xla",
+            cfg.model.updated(fused_attention=False, fused_conv=False, attention_impl="xla",
                               fused_xl=False),
             cfg.cl_cfg,
         )

@@ -170,7 +170,7 @@ class EpisodeRunner:
         # init graph alone remote-compiles for minutes on the TPU tunnel,
         # and Pallas kernels can't trace on the CPU device
         init_model = PointTransformer(
-            cfg.model.updated(fused_attention=False, attention_impl="xla", fused_xl=False), cfg.cl_cfg
+            cfg.model.updated(fused_attention=False, fused_conv=False, attention_impl="xla", fused_xl=False), cfg.cl_cfg
         )
         try:
             cpu = jax.devices("cpu")[0]

@@ -189,22 +189,30 @@ class MaskedMHCA(nn.Module):
         q_ks = self.n_qx_stride + 1 if self.n_qx_stride > 1 else 3
         kv_ks = self.n_kv_stride + 1 if self.n_kv_stride > 1 else 3
 
-        if (self.use_fused_conv and self.n_qx_stride == 1
-                and self.n_kv_stride == 1):
+        s = self.n_qx_stride
+        if (self.use_fused_conv and s == self.n_kv_stride and s in (1, 2)
+                and x.shape[1] % (2 * s) == 0):
             # one Pallas pass over x computes all three depthwise convs;
             # its backward emits dx + the three wgrads in one pass too
             # (kernels/dwconv.py). Same math, mask multiply, and param
             # tree as the MaskedConv path below.
-            from vilco_tpu.kernels.dwconv import fused_dwconv_qkv
+            from vilco_tpu.kernels.dwconv import (
+                fused_dwconv_qkv,
+                fused_dwconv_qkv_s2,
+            )
 
             wq = _DWKernel(E, q_ks, name="query_conv")()
             wk = _DWKernel(E, kv_ks, name="key_conv")()
             wv = _DWKernel(E, kv_ks, name="value_conv")()
             w3 = jnp.stack([wq[:, 0], wk[:, 0], wv[:, 0]]).astype(x.dtype)
-            q, k, v = fused_dwconv_qkv(x, w3)
-            mm = mask[..., None].astype(q.dtype)
+            if s == 1:
+                q, k, v = fused_dwconv_qkv(x, w3)
+                q_mask = kv_mask = mask
+            else:
+                q, k, v = fused_dwconv_qkv_s2(x, w3)
+                q_mask = kv_mask = mask[:, ::2]
+            mm = q_mask[..., None].astype(q.dtype)
             q, k, v = q * mm, k * mm, v * mm
-            q_mask = kv_mask = mask
             q = LayerNormC(name="query_norm")(q)
             k = LayerNormC(name="key_norm")(k)
             v = LayerNormC(name="value_norm")(v)
