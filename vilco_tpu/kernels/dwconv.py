@@ -15,10 +15,10 @@ dy_v):
             dw_j[i]  = sum_{b,t} x[t-1+i] dy_j[t]   (f32, accumulated
                        across the batch grid axis — revisit-minormost)
 
-Stride-1 / kernel-size-3 only (exactly the stem-block shape; strided
-branch convs keep the XLA form). Shifts are uniform sublane rolls with
-explicit boundary masking — per-row strided rolls miscompile on HW (see
-kernels/xl_attention.py).
+Kernel-size-3 at stride 1 (stem blocks) and stride 2 (branch
+downsampling blocks, via the even/odd-deinterleaved variant below).
+Shifts are uniform sublane rolls with explicit boundary masking —
+per-row strided rolls miscompile on HW (see kernels/xl_attention.py).
 """
 
 from __future__ import annotations
