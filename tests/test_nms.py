@@ -141,9 +141,12 @@ def test_seg_voting_matches_torch(rng):
         jnp.ones(M, bool), iou_threshold=0.3,
     )
 
-    # torch transcription of seg_voting (nms.py:67-101)
+    # torch transcription of seg_voting (nms.py:67-101). NOTE: the
+    # reference computes offset_scores = scores + 1.5 but never uses it
+    # (:78 vs :98) — vote weights are RAW score x IoU; pinned against the
+    # real reference path in test_inference_lockstep.py
     tn, ta = torch.from_numpy(nms_segs), torch.from_numpy(segs)
-    ts = torch.from_numpy(scores) + 1.5
+    ts = torch.from_numpy(scores)
     ex_n = tn[:, None].expand(K, M, 2)
     ex_a = ta[None, :].expand(K, M, 2)
     left = torch.maximum(ex_n[:, :, 0], ex_a[:, :, 0])

@@ -129,16 +129,20 @@ def seg_voting(
     score_offset: float = 1.5,
 ) -> jax.Array:
     """Bounding-segment voting refinement; matches seg_voting
-    (MQ/libs/utils/nms.py:67-101).
+    (MQ/libs/utils/nms.py:67-101). Note the reference computes
+    `offset_scores = all_scores + score_offset` but never uses it (nms.py:78
+    vs :98 — the vote weight is raw score x IoU); `score_offset` is kept in
+    the signature for parity but is intentionally dead here too, pinned
+    against the real reference path in tests/test_inference_lockstep.py.
     """
-    offset_scores = (all_scores + score_offset) * all_valid.astype(jnp.float32)
+    del score_offset
     l = jnp.maximum(nms_segs[:, None, 0], all_segs[None, :, 0])
     r = jnp.minimum(nms_segs[:, None, 1], all_segs[None, :, 1])
     inter = jnp.clip(r - l, 0.0, None)
     len_n = nms_segs[:, 1] - nms_segs[:, 0]
     len_a = all_segs[:, 1] - all_segs[:, 0]
     iou = inter / jnp.maximum(len_n[:, None] + len_a[None, :] - inter, 1e-9)
-    w = (iou >= iou_threshold).astype(jnp.float32) * offset_scores[None, :] * iou
+    w = (iou >= iou_threshold).astype(jnp.float32) * all_scores[None, :] * iou
     w = w * all_valid[None, :].astype(jnp.float32)
     denom = jnp.sum(w, axis=1, keepdims=True)
     w = w / jnp.where(denom == 0, 1.0, denom)
