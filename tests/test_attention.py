@@ -80,6 +80,34 @@ def test_banded_attention_matches_dense_band_mask(rng, window):
     np.testing.assert_allclose(out_np[mask], ref[mask], atol=1e-5)
 
 
+@pytest.mark.parametrize("T", [6, 8, 9])
+def test_banded_attention_band_wider_than_sequence(rng, T):
+    """T <= 2w+1 must STILL cut the band corners: position 0 may not see
+    positions > w (the reference's _mask_invalid_locations enforces this
+    at every T; an unbanded dense fallback here shifted the deepest NLQ
+    level, T=8 w=4, by 3e-1 — regression for that bug)."""
+    B, H, D, w = 2, 2, 8, 4
+    q, k, v = (rng.standard_normal((B, T, H, D)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), bool)
+    mask[1, T - 2:] = False
+
+    out = np.asarray(A.banded_attention(
+        *map(jnp.asarray, (q, k, v)), jnp.asarray(mask), window=w))
+
+    band = np.abs(np.arange(T)[:, None] - np.arange(T)[None, :]) <= w
+    allow = band[None, :, :] & mask[:, None, :]
+    scale = 1.0 / np.sqrt(D)
+    att = np.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    att = np.where(allow[:, None, :, :], att, -np.inf)
+    att = att - att.max(-1, keepdims=True)
+    e = np.exp(att)
+    att = e / e.sum(-1, keepdims=True)
+    vm = v * mask[:, :, None, None]
+    ref = np.einsum("bhqk,bkhd->bqhd", att, vm)
+    np.testing.assert_allclose(out[mask], ref[mask], atol=1e-5)
+
+
 def test_channel_attention_matches_torch(rng):
     """vs a torch transcription of ChannelAttention (blocks.py:412-437)."""
     B, T, C, H = 2, 10, 16, 4

@@ -13,6 +13,14 @@ TPU-native equivalent of the reference BiC machinery:
 Instead of per-slice module objects, the bias is two (num_tasks,) vectors
 expanded per class by a class->task map, so applying it is one fused
 elementwise op and the stage-2 step jits once.
+
+Documented deviation: the reference's stage 2 never actually updates
+alpha/beta — it builds `bias_optimizer = torch.optim.SGD(..., lr=0.001)`
+(train_bic.py:622) but passes the MAIN optimizer to train_bic_one_epoch,
+and the bias layers live in a plain Python list (meta_archs.py:625), so
+they are in no optimizer's param groups; with all model params frozen the
+stage-2 loop is a no-op. We run the training the reference visibly
+intended: SGD(lr=0.001) on (alpha, beta) of the current task.
 """
 
 from __future__ import annotations
@@ -58,11 +66,13 @@ def apply_bias(cls_logits: jax.Array, alpha: jax.Array, beta: jax.Array):
 def make_bias_stage2_step(model, points, cfg, task_idx: int,
                           class_task: np.ndarray, lr: float = 1e-3):
     """Jitted stage-2 step: optimize ONLY (alpha_j, beta_j) of the current
-    task on held-out data; model params are frozen inputs."""
+    task on held-out data; model params are frozen inputs. SGD at the
+    reference's intended lr (train_bic.py:622 — built there but never
+    stepped; see module docstring)."""
     from vilco_tpu.train.engine import CLBatchExtras, compute_losses
 
     class_task_j = jnp.asarray(class_task)
-    tx = optax.adam(lr)
+    tx = optax.sgd(lr)
 
     def loss_fn(bias, params, batch, cl: "CLBatchExtras", loss_norm):
         outputs = model.apply(

@@ -262,9 +262,12 @@ class EpisodeRunner:
                 for k, v in batch.items()}
 
     # ------------------------------------------------------------------
-    def snapshot_logits(self, params, videos) -> Dict[str, np.ndarray]:
-        """Pre-task logits per video for iCaRL/BiC distillation
-        (MQ/train_cl.py:226-235)."""
+    def snapshot_logits(self, params, videos,
+                        n_known: int = 0) -> Dict[str, np.ndarray]:
+        """Pre-task distill targets per video, stored as PROBABILITIES the
+        way the reference snapshots them: sigmoid(logits) for iCaRL
+        (MQ/train_cl.py:235), softmax(logits/T) over the first n_known
+        classes zero-padded to C for BiC (MQ/train_bic.py:424-434)."""
         data = self._make_dataset(videos, is_training=False)
         it = BatchIterator(data, self.cfg, self.cfg.loader.batch_size,
                            is_training=False,
@@ -274,10 +277,18 @@ class EpisodeRunner:
         for batch, meta in it:
             res = self.eval_step(params,
                                  self._to_device(batch, is_training=False))
-            logits = np.asarray(res["cls_logits"])
+            logits = np.asarray(res["cls_logits"], np.float32)
+            if self.method == "bic" and n_known > 0:
+                z = logits[..., :n_known] / 2.0
+                z = z - z.max(axis=-1, keepdims=True)
+                e = np.exp(z)
+                probs = np.zeros_like(logits)
+                probs[..., :n_known] = e / e.sum(axis=-1, keepdims=True)
+            else:
+                probs = 1.0 / (1.0 + np.exp(-logits))
             for i, vid in enumerate(meta["video_id"]):
                 if not meta["pad"][i]:
-                    out[vid] = logits[i]
+                    out[vid] = probs[i]
         return out
 
     # ------------------------------------------------------------------
@@ -350,7 +361,8 @@ class EpisodeRunner:
 
         prev_logits_map = None
         if use_distill:
-            prev_logits_map = self.snapshot_logits(self.params, videos)
+            prev_logits_map = self.snapshot_logits(
+                self.params, videos, n_known=n_known)
 
         fisher, optpar = (None, None)
         if use_reg:

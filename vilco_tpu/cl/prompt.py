@@ -53,14 +53,16 @@ class PromptPool(nn.Module):
                 f"to the text-token dim (Config.derived() derives it from "
                 f"model.n_txt_in — re-derive after overriding n_txt_in)."
             )
+        # uniform(-1, 1) as in prompt.py:24-25; stored UN-shifted so the
+        # leaves import 1:1 from reference checkpoints
+        unif = lambda key, shape, dtype: jax.random.uniform(
+            key, shape, dtype, -1.0, 1.0)
         prompt = self.param(
-            "prompt", nn.initializers.uniform(scale=2.0),
-            (self.pool_size, self.length, self.embed_dim), jnp.float32,
-        ) - 1.0  # uniform(-1, 1) as in prompt.py:24-25
+            "prompt", unif,
+            (self.pool_size, self.length, self.embed_dim), jnp.float32)
         prompt_key = self.param(
-            "prompt_key", nn.initializers.uniform(scale=2.0),
-            (self.pool_size, self.embed_dim), jnp.float32,
-        ) - 1.0
+            "prompt_key", unif,
+            (self.pool_size, self.embed_dim), jnp.float32)
 
         if self.embedding_key == "mean":
             x_mean = jnp.mean(x_embed, axis=1)

@@ -1,11 +1,13 @@
 """EWC / MAS importance estimation.
 
 TPU-native equivalent of on_task_update / on_task_mas_update
-(MQ/libs/cl_methods/EWC.py:24-56, MAS.py:23-57): accumulate loss gradients
-over the finished task's loader; EWC importance = grad^2 of the *accumulated*
-gradient (the reference backprops every batch without zeroing, so the
-gradient accumulates across batches and fisher is the square of the sum —
-reproduced faithfully), MAS importance = |accumulated grad|.
+(MQ/libs/cl_methods/EWC.py:24-56, MAS.py:23-57). The reference calls
+`optimizer.zero_grad(set_to_none=True)` at the TOP of every loader
+iteration (EWC.py:38, MAS.py:39) and the optimizer's param groups cover
+every model param, so after the loop `param.grad` holds ONLY the final
+batch's gradient: fisher = (last-batch grad)^2, MAS importance =
+|last-batch grad|. Reproduced faithfully (pinned by
+tests/test_cl_lockstep.py::test_importance_lockstep).
 
 Per-task (importance, optpar) pytrees are stacked along a leading task axis
 so the quadratic penalty (train/engine.py:reg_penalty) is one fused op.
@@ -21,7 +23,11 @@ import numpy as np
 
 
 def make_grad_step(model, points, cfg, cl_method: str = "naive"):
-    """One jitted gradient-accumulation step: returns grads of final_loss."""
+    """One jitted estimation step: returns (grads of final_loss, new EMA
+    loss normalizer). The normalizer must be threaded batch-to-batch: the
+    reference's `model(video_list)` updates `loss_normalizer` in place on
+    every forward of the estimation loop, so the final batch's gradient
+    (the one that becomes fisher) sees the EMA'd norm, not the initial."""
     from vilco_tpu.train.engine import CLBatchExtras, compute_losses
 
     def grad_fn(params, batch, cl: "CLBatchExtras", loss_norm):
@@ -31,12 +37,13 @@ def make_grad_step(model, points, cfg, cl_method: str = "naive"):
                 text=batch.get("text"), text_mask=batch.get("text_mask"),
                 deterministic=True,
             )
-            loss, _, _ = compute_losses(
+            loss, _, new_norm = compute_losses(
                 outputs, batch, points, cfg, cl, loss_norm, cl_method, 0
             )
-            return loss
+            return loss, new_norm
 
-        return jax.grad(loss_fn)(params)
+        grads, new_norm = jax.grad(loss_fn, has_aux=True)(params)
+        return grads, new_norm
 
     return jax.jit(grad_fn)
 
@@ -50,11 +57,14 @@ def estimate_importance(
     mode: str = "ewc",
 ) -> Tuple[Any, Any]:
     """Returns (importance, optpar) pytrees for the finished task."""
+    # the reference zeroes grads before every backward (EWC.py:38), so
+    # only the LAST batch's gradient survives its loop; the loss
+    # normalizer EMA still advances on every forward, so each batch runs
+    # through grad_step to thread the norm even though only the final
+    # grads are kept
     acc = None
     for batch in batches:
-        g = grad_step(params, batch, cl_extras, loss_norm)
-        # the reference never zeroes grads between batches -> accumulate
-        acc = g if acc is None else jax.tree.map(jnp.add, acc, g)
+        acc, loss_norm = grad_step(params, batch, cl_extras, loss_norm)
     if acc is None:
         acc = jax.tree.map(jnp.zeros_like, params)
     if mode == "ewc":

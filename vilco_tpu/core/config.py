@@ -229,8 +229,9 @@ class ModelConfig(_Base):
     fused_attention: bool = True
     # fused depthwise q/k/v conv preprocessing (kernels/dwconv.py): one
     # Pallas pass over x for all three MaskedMHCA convs, backward emits
-    # dx + all three wgrads in one pass. Stride-1 blocks only (stem);
-    # strided branch convs keep the XLA shifted-FMA form. TPU-only.
+    # dx + all three wgrads in one pass. Covers both the stride-1 stem
+    # blocks and the stride-2 downsampling branch blocks (the latter via
+    # fused_dwconv_qkv_s2, which also fuses the mask-downsample). TPU-only.
     fused_conv: bool = True
     # attention implementation for dense self-attention: "xla" (batched
     # matmuls), "flash" (jax's TPU flash-attention pallas kernel),

@@ -305,20 +305,29 @@ class PointTransformer(nn.Module):
         )(fpn_feats, fpn_masks)
 
         # learnable per-class Gaussians for label weighting
-        # (meta_archs.py:601-606)
-        C = cfg.num_classes
-        out["gaussians"] = (
-            self.param("mu", nn.initializers.zeros, (C,), jnp.float32),
-            self.param("sigma", nn.initializers.ones, (C,), jnp.float32),
-            self.param("mu_reg_left",
-                       nn.initializers.constant(-0.5), (C,), jnp.float32),
-            self.param("sigma_reg_left", nn.initializers.ones, (C,),
-                       jnp.float32),
-            self.param("mu_reg_right",
-                       nn.initializers.constant(0.5), (C,), jnp.float32),
-            self.param("sigma_reg_right", nn.initializers.ones, (C,),
-                       jnp.float32),
-        )
+        # (MQ meta_archs.py:601-606). MQ-only: the NLQ reference model has
+        # no such params, and creating inert leaves there would still see
+        # AdamW's decoupled weight decay shrink them — a trajectory
+        # deviation the NLQ lockstep (test_nlq_trajectory.py) pins away.
+        if cfg.variant == "nlq":
+            out["gaussians"] = None
+        else:
+            C = cfg.num_classes
+            out["gaussians"] = (
+                self.param("mu", nn.initializers.zeros, (C,), jnp.float32),
+                self.param("sigma", nn.initializers.ones, (C,),
+                           jnp.float32),
+                self.param("mu_reg_left",
+                           nn.initializers.constant(-0.5), (C,),
+                           jnp.float32),
+                self.param("sigma_reg_left", nn.initializers.ones, (C,),
+                           jnp.float32),
+                self.param("mu_reg_right",
+                           nn.initializers.constant(0.5), (C,),
+                           jnp.float32),
+                self.param("sigma_reg_right", nn.initializers.ones, (C,),
+                           jnp.float32),
+            )
 
         out["level_lengths"] = tuple(f.shape[1] for f in fpn_feats)
         out["cls_logits"] = jnp.concatenate(

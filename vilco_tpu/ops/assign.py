@@ -87,6 +87,15 @@ def label_points(
       3. cls target is the multi-hot over segments tied within 1e-3 of the
          shortest; reg target is the argmin segment's offsets / stride.
     """
+    if gaussians is None:
+        # NLQ variant: the reference model has no learnable Gaussians and
+        # never weights by them (use_gaussian_weights=False); neutral
+        # constants keep the prob_* outputs well-defined (and unused)
+        C = num_classes
+        ones = jnp.ones((C,), jnp.float32)
+        gaussians = (jnp.zeros((C,), jnp.float32), ones,
+                     jnp.full((C,), -0.5, jnp.float32), ones,
+                     jnp.full((C,), 0.5, jnp.float32), ones)
     mu, sigma, mu_l, sig_l, mu_r, sig_r = gaussians
 
     t = points[:, 0][None, :, None]          # (1, P, 1)

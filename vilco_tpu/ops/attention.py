@@ -64,8 +64,29 @@ def banded_attention(
     """
     B, T, H, D = q.shape
     w = window
-    if w <= 0 or 2 * w + 1 >= T:
+    if w <= 0:
         return masked_attention(q, k, v, kv_mask)
+    if 2 * w + 1 >= T:
+        # band wider than the sequence: a dense matmul is cheapest, but
+        # the band STILL cuts the corners (position 0 must not see
+        # positions > w). The reference's Longformer chunks enforce this
+        # at every T (_mask_invalid_locations); dropping it shifted the
+        # deepest NLQ level (T=8, w=4) by 3e-1 — caught by
+        # test_nlq_trajectory's lockstep.
+        idx = jnp.arange(T)
+        band = jnp.abs(idx[:, None] - idx[None, :]) <= w       # (T, T)
+        banded_kv = kv_mask[:, None, :] & band[None]           # (B, T, T)
+        d = q.shape[-1]
+        scale = (1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))).astype(
+            q.dtype)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                         preferred_element_type=jnp.float32)
+        att = jnp.where(banded_kv[:, None], att, NEG_INF)
+        att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
+        vz = v * kv_mask[:, :, None, None].astype(v.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", att, vz,
+                          preferred_element_type=jnp.float32).astype(
+                              q.dtype)
     assert T % w == 0, f"T={T} must be divisible by window={w}"
 
     # Query block size: the largest multiple of w that is <= 128 and divides

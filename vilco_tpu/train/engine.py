@@ -49,7 +49,8 @@ class CLBatchExtras(struct.PyTreeNode):
     """Per-step CL inputs with static presence decided by the step factory."""
 
     class_mask: jax.Array                         # (C,) bool — seen classes
-    prev_logits: Optional[jax.Array] = None       # (B, P, C) distill targets
+    prev_logits: Optional[jax.Array] = None       # (B, P, C) distill target
+    #   PROBABILITIES (sigmoid / softmax-T snapshots, see snapshot_logits)
     memory_bank: Optional[jax.Array] = None       # (M, D) SSL negatives
     memory_ptr: Optional[jax.Array] = None        # () int32
     fisher: Any = None                            # stacked (K, ...) pytrees
@@ -163,27 +164,45 @@ def compute_losses(
         metrics["reduce_sim"] = outputs["reduce_sim"]
 
     # --- distillation (iCaRL BCE / BiC soft-target, meta_archs.py:1480-1519)
+    # The reference computes a PER-LEVEL mean over time and SUMS the
+    # levels (each level contributes its mean regardless of length), so
+    # the concatenated (B, P, C) form needs per-point weights 1/T_l.
+    # cl.prev_logits carries PROBABILITIES: sigmoid snapshots for iCaRL
+    # (train_cl.py:235), softmax(cur/T) over the first n_known classes
+    # (zero-padded to C) for BiC (train_bic.py:433). Documented
+    # deviations: the reference reads batch element 0's logits against
+    # the last element's snapshot (train_utils.py:327-333 — only
+    # well-defined at B=1); we average per-sample terms over the batch.
+    # It also includes padded positions in the per-level means; we
+    # normalize over valid positions (identical on full-length clips).
     if cl.prev_logits is not None and n_known > 0:
-        known = (
-            jnp.arange(C) < n_known
-        ).astype(jnp.float32)[None, None, :]
-        vm = valid[..., None].astype(jnp.float32) * known
+        from vilco_tpu.models.point_transformer import level_lengths
+
+        lens = level_lengths(cfg.model)
+        level_id = np.repeat(np.arange(len(lens)), lens)       # (P,)
+        lvl_onehot = jnp.asarray(
+            np.eye(len(lens), dtype=np.float32)[level_id])     # (P, L)
+        vf = valid.astype(jnp.float32)                          # (B, P)
+        counts = vf @ lvl_onehot                                # (B, L)
         if cl_method == "bic":
             T = 2.0
-            logp = jax.nn.log_softmax(cls_logits[..., :n_known] / T, axis=-1)
-            soft = -jnp.sum(cl.prev_logits[..., :n_known] * logp, axis=-1)
-            alpha = n_known / C
-            vf = valid.astype(jnp.float32)
-            dist = cfg.cl_cfg.dist_factor * alpha * (
-                jnp.sum(soft * vf) / jnp.maximum(jnp.sum(vf), 1.0)
-            )
-        else:  # icarl: BCE-with-logits vs previous raw logits as targets
-            x = cls_logits
-            t = cl.prev_logits
-            bce = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
-            dist = cfg.cl_cfg.dist_factor * (
-                jnp.sum(bce * vm) / jnp.maximum(jnp.sum(vm), 1.0)
-            ) * n_known
+            logp = jax.nn.log_softmax(
+                cls_logits[..., :n_known] / T, axis=-1)
+            per_pt = -jnp.sum(
+                cl.prev_logits[..., :n_known] * logp, axis=-1)  # (B, P)
+            factor = cfg.cl_cfg.dist_factor * (n_known / C)
+        else:  # icarl: BCE-with-logits vs sigmoid snapshots, summed
+            # over the first n_known classes (meta_archs.py:1513)
+            x = cls_logits[..., :n_known]
+            t = cl.prev_logits[..., :n_known]
+            bce = (jnp.maximum(x, 0) - x * t
+                   + jnp.log1p(jnp.exp(-jnp.abs(x))))
+            per_pt = jnp.sum(bce, axis=-1)                      # (B, P)
+            factor = cfg.cl_cfg.dist_factor
+        lvl_sums = (per_pt * vf) @ lvl_onehot                   # (B, L)
+        per_sample = jnp.sum(
+            lvl_sums / jnp.maximum(counts, 1.0), axis=-1)       # (B,)
+        dist = factor * jnp.mean(per_sample)
         final = final + dist
         metrics["dist_loss"] = dist
 
@@ -246,10 +265,28 @@ def cast_input_features(batch, compute_dtype: str):
     return out
 
 
+def _penalty_excluded(path) -> bool:
+    """The reference penalty skips every param whose torch name contains
+    'scale' (EWC.py:14, MAS.py:13) — in our tree those are the
+    AffineDropPath `drop_path_*/scale` leaves and the per-level head
+    `scale_l/scale` scalars. flax nn.LayerNorm also names its weight
+    'scale', but its torch twin is `*.weight` and IS penalized, so the
+    match is on the parent module name, not the leaf."""
+    keys = [str(getattr(p, "key", "")) for p in path]
+    return any(k.startswith(("drop_path", "scale")) for k in keys[:-1])
+
+
 def reg_penalty(params, fisher, optpar, lam):
-    """sum_i fisher_i * (optpar_i - theta)^2 * lambda, over stacked tasks."""
-    per_leaf = jax.tree.map(
-        lambda f, o, p: jnp.sum(f * jnp.square(o - p[None])),
+    """sum_i fisher_i * (optpar_i - theta)^2 * lambda, over stacked tasks.
+
+    Skips 'scale'-named params exactly as the reference does (EWC.py:14)
+    — fisher still CONTAINS them (on_task_update records every grad), the
+    penalty just never reads those entries."""
+    per_leaf = jax.tree_util.tree_map_with_path(
+        lambda path, f, o, p: (
+            jnp.zeros(()) if _penalty_excluded(path)
+            else jnp.sum(f * jnp.square(o - p[None]))
+        ),
         fisher, optpar, params,
     )
     total = jax.tree.reduce(lambda a, b: a + b, per_leaf, jnp.zeros(()))
