@@ -161,7 +161,8 @@ def test_frozen_backbone_excluded_from_optimizer():
                   for x in jax.tree.leaves(v))
     n_state = sum(x.size for x in jax.tree.leaves(state.opt_state)
                   if hasattr(x, "size"))
-    assert n_state == 2 * n_train + 1  # m + v + the Adam step counter
+    # m + v + the Adam step counter + the MultiStepLR schedule counter
+    assert n_state == 2 * n_train + 2
 
     before = jax.tree.map(np.asarray, params)  # step() donates its state
     step = make_vq_train_step(model, tx)

@@ -288,6 +288,8 @@ class ClipMatcher(nn.Module):
     # grid with the final norm (DINO/DINOv2 semantics)
     interp_feat_to: Optional[int] = None
     vit_final_norm: bool = True
+    # head feature dropout (reference droupout_feat/cls p=0.2, :537-538)
+    dropout: float = 0.2
 
     def setup(self):
         self.backbone = ViT(self.patch_size, self.vit_dim, self.vit_depth,
@@ -314,7 +316,8 @@ class ClipMatcher(nn.Module):
         ]
         self.head = AnchorHead(
             self.dim, self.resolution_transformer,
-            self.resolution_anchor_feat, norm=self.norm, name="head",
+            self.resolution_anchor_feat, norm=self.norm,
+            dropout=self.dropout, name="head",
         )
         anchors = generate_anchors(self.clip_size,
                                    self.resolution_anchor_feat)

@@ -231,7 +231,10 @@ class VQEpisodeRunner:
                  weight_decay: float = 1e-4,
                  positive_threshold: float = 0.2, positive_topk: int = 5,
                  accumulation_steps: int = 1, persist_config: bool = True,
-                 ckpt_format: str = "npz"):
+                 ckpt_format: str = "npz",
+                 grad_max: float = 20.0,
+                 lr_milestones: tuple = (7000, 14000, 20000, 25000),
+                 lr_gamma: float = 0.3):
         self.stream = stream
         self.source = source
         self.workdir = workdir
@@ -293,6 +296,8 @@ class VQEpisodeRunner:
         self.tx = make_vq_optimizer(
             lr, weight_decay,
             freeze_backbone=self.model.freeze_backbone,
+            grad_max=grad_max, milestones=tuple(lr_milestones),
+            gamma=lr_gamma,
         )
         self.accumulation_steps = max(accumulation_steps, 1)
         self.train_step = make_vq_train_step(

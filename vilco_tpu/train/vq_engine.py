@@ -33,25 +33,51 @@ class VQTrainState(struct.PyTreeNode):
 
 
 def make_vq_optimizer(lr: float, weight_decay: float,
-                      freeze_backbone: bool = True):
-    """AdamW over the TRAINABLE params only, as the reference builds it
-    (VQ/utils/train_utils.py:8-15: with `fix_backbone` the ViT's params get
-    `requires_grad=False` and are filtered OUT of the optimizer — they
-    receive neither weight decay nor Adam state). Here the `backbone`
-    subtree maps to `optax.set_to_zero()` via `multi_transform`: zero
-    updates, zero optimizer state (saves m/v for the ~86M frozen ViT-B
-    params: ~0.7 GB HBM + their per-step read/write traffic), and no
-    spurious `lr*wd` decay of the frozen weights."""
-    tx = optax.adamw(lr, weight_decay=weight_decay)
-    if not freeze_backbone:
-        return tx
+                      freeze_backbone: bool = True,
+                      grad_max: float = 20.0,
+                      milestones: tuple = (7000, 14000, 20000, 25000),
+                      gamma: float = 0.3):
+    """The reference VQ optimizer stack, end to end:
+      - global grad-norm clip at `grad_max` (train_anchor.py:104,
+        config.train.grad_max=20)
+      - AdamW over the TRAINABLE params only (VQ/utils/train_utils.py:8-15:
+        with `fix_backbone` the ViT's params get `requires_grad=False` and
+        are filtered OUT of the optimizer — no decay, no Adam state)
+      - MultiStepLR: lr * gamma^(#milestones passed), stepped per
+        optimizer update (train_utils.py:28-32 + train_anchor.py:107;
+        milestones from config/train*.yaml:58). No warmup — the config's
+        `schedular_warmup_iter` is dead, get_schedular ignores it.
 
+    The frozen `backbone` subtree maps to `optax.set_to_zero()` via
+    `multi_transform`: zero updates, zero optimizer state (saves m/v for
+    the ~86M frozen ViT-B params: ~0.7 GB HBM + their per-step read/write
+    traffic), and no spurious `lr*wd` decay of the frozen weights. The
+    model stop-gradients the frozen backbone (clip_matcher.py:339-340),
+    so the global clip norm sees exactly the torch trainable grads."""
+    ms = jnp.asarray(sorted(milestones), jnp.float32)
+
+    def sched(step):
+        k = jnp.sum(ms <= jnp.asarray(step, jnp.float32))
+        return lr * gamma ** k
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_max),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
     def labels(params):
-        return {
-            k: (jax.tree.map(lambda _: "freeze", v) if k == "backbone"
-                else jax.tree.map(lambda _: "train", v))
-            for k, v in params.items()
-        }
+        # frozen_bn running stats live in the params tree (bn_mean /
+        # bn_var leaves) but are torch BUFFERS — never in the reference
+        # optimizer, so they must get neither Adam updates nor lr*wd
+        # decay. The backbone subtree is frozen per fix_backbone.
+        def leaf_label(path, _):
+            keys = [str(getattr(p, "key", "")) for p in path]
+            if keys and keys[-1] in ("bn_mean", "bn_var"):
+                return "freeze"
+            if freeze_backbone and keys and keys[0] == "backbone":
+                return "freeze"
+            return "train"
+
+        return jax.tree_util.tree_map_with_path(leaf_label, params)
 
     return optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()}, labels
@@ -196,6 +222,7 @@ def make_vq_train_step(
     positive_topk: int = 5,
     reg_lambda: float = 0.0,
     accumulation_steps: int = 1,
+    deterministic: bool = False,
 ) -> Callable:
     """Jitted VQ train step with optional HNM and EWC/MAS penalty.
 
@@ -213,7 +240,7 @@ def make_vq_train_step(
         preds = model.apply(
             {"params": params}, mb["clip"], mb["query"],
             from_features=from_features, hnm=use_hnm,
-            deterministic=False, rngs={"dropout": drng},
+            deterministic=deterministic, rngs={"dropout": drng},
         )
         gts = {k: mb[k] for k in
                ("clip_bbox", "clip_with_bbox", "before_query")}
