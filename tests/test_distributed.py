@@ -28,7 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_two_hosts(tmp_path):
+def _run_two_hosts(tmp_path, extra_args=()):
     port = _free_port()
     procs = []
     for i in range(2):
@@ -46,7 +46,7 @@ def _run_two_hosts(tmp_path):
             [sys.executable, "-m", "vilco_tpu.bin.train_cl",
              "--synthetic", "--distributed",
              "--epochs", "1", "--num-tasks", "2", "--batch-size", "4",
-             "--workdir", str(wd)],
+             "--workdir", str(wd), *extra_args],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
@@ -107,3 +107,105 @@ def test_two_process_distributed_episode(tmp_path):
     same(f0, f1)
     assert np.isfinite(f0["avg_mAP"])
     assert len(res[0]["tasks"]) == 2
+
+
+def _run_vq_single(tmp_path):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (env.get("PYTHONPATH", ""), REPO) if p)
+    wd = tmp_path / "single"
+    p = subprocess.run(
+        [sys.executable, "-m", "vilco_tpu.bin.train_cl",
+         "--synthetic", "--task", "vq", "--dp", "-1",
+         "--epochs", "1", "--num-tasks", "2", "--batch-size", "8",
+         "--workdir", str(wd)],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1500)
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+    with open(wd / "results.json") as f:
+        return json.load(f)
+
+
+def _run_vq_two_hosts(tmp_path):
+    port = _free_port()
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(i)
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in (env.get("PYTHONPATH", ""), REPO) if p)
+        wd = tmp_path / f"host{i}"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "vilco_tpu.bin.train_cl",
+             "--synthetic", "--task", "vq", "--distributed",
+             "--epochs", "1", "--num-tasks", "2", "--batch-size", "4",
+             "--workdir", str(wd)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_vq_two_process_distributed_episode(tmp_path):
+    """VQ multi-host data parallel (beyond the reference's single-node
+    DDP, VQ/train_cl.py:112-119): the host-sharded window loader is
+    process-count-INVARIANT — window draws are keyed per (epoch, step,
+    global position) — so a 2-process x 4-device episode must equal the
+    1-process x 8-device episode with the same global batch (8)
+    bit-for-bit in its reported metrics, and both hosts must agree."""
+    single = _run_vq_single(tmp_path)
+
+    for attempt in range(2):
+        procs, outs = _run_vq_two_hosts(tmp_path / f"try{attempt}")
+        if all(p.returncode == 0 for p in procs):
+            break
+        transient = any("DEADLINE_EXCEEDED" in o for o in outs)
+        if not (transient and attempt == 0):
+            break
+    base = tmp_path / f"try{attempt}"
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {i} failed:\n{out[-4000:]}"
+
+    res = []
+    for i in range(2):
+        with open(base / f"host{i}" / "results.json") as f:
+            res.append(json.load(f))
+
+    def same(a, b, path="", rtol=1e-6):
+        assert type(a) is type(b), (path, type(a), type(b))
+        if isinstance(a, dict):
+            assert a.keys() == b.keys(), path
+            for k in a:
+                same(a[k], b[k], f"{path}.{k}", rtol)
+        elif isinstance(a, list):
+            assert len(a) == len(b), path
+            for i, (x, y) in enumerate(zip(a, b)):
+                same(x, y, f"{path}[{i}]", rtol)
+        elif isinstance(a, float):
+            np.testing.assert_allclose(a, b, rtol=rtol, err_msg=path)
+        else:
+            assert a == b, path
+
+    # hosts agree exactly
+    same(res[0]["final"], res[1]["final"])
+    # 2x4 == 1x8: same global batches, same 8-device collectives; only
+    # f32 all-reduce layout round-off may differ
+    same(res[0]["final"], single["final"], rtol=1e-4)
+    assert np.isfinite(res[0]["final"]["avg_tAP25"])

@@ -163,8 +163,7 @@ def main(argv=None):
                 # no multi-host support -> each host would train an
                 # independent diverging replica; refuse rather than pretend
                 p.error("--distributed with multiple hosts needs a runner "
-                        "with multi-host data-parallel support (the VQ "
-                        "runner is single-host) — run single-host")
+                        "with multi-host data-parallel support")
             if shard[1] > 1 and not dp:
                 # without a mesh each host would train an independent
                 # diverging replica on 1/N of the data (no gradient

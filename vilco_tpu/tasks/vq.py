@@ -314,37 +314,56 @@ class VQEpisodeRunner:
         self.mesh = None
 
     # --------------------------------------------------------------
-    # single-host only: multi-host VQ would need a host-sharded window
-    # loader (the CLI refuses --distributed VQ via this flag)
-    supports_multihost = False
+    # multi-host capable since the host-sharded window loader
+    # (_train_batches slices the global step batch per process)
+    supports_multihost = True
 
     def enable_data_parallel(self, mesh=None):
         """Run the jitted VQ steps SPMD over a device mesh: batches shard
         over the 'data' axis, params replicate, XLA inserts the gradient
         psum — the reference VQ's single-node DDP + SyncBatchNorm
         (VQ/train_cl.py:112-119) by construction (GroupNorm here has no
-        cross-device batch stats to sync)."""
-        import jax as _jax
-
+        cross-device batch stats to sync). Multi-host too (beyond the
+        reference's single-node DDP): call parallel.mesh.init_distributed()
+        first; each host's window loader yields its process slice of the
+        global step batch (the slicing is process-count-INVARIANT — window
+        draws are keyed per global position — so the assembled global
+        batch is identical for any host layout) and the global arrays are
+        assembled via make_array_from_process_local_data."""
         from vilco_tpu.parallel.mesh import make_mesh
 
-        if _jax.process_count() > 1:
-            raise NotImplementedError(
-                "VQ data-parallel is single-host only (needs a host-"
-                "sharded window loader for multi-host)")
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.shape.get("data", 1)
-        if self.batch_size % d:
+        gb = self.batch_size * jax.process_count()
+        if gb % d:
             raise ValueError(
-                f"batch_size {self.batch_size} not divisible by "
-                f"data-mesh size {d}")
+                f"global batch {gb} not divisible by data-mesh size {d}")
         return self
 
-    def _to_device(self, batch):
+    def _to_device(self, batch, is_training: bool = True):
         if self.mesh is None:
             return batch
-        from vilco_tpu.parallel.mesh import batch_shardings
+        from vilco_tpu.parallel.mesh import batch_shardings, replicated
 
+        if jax.process_count() > 1:
+            if is_training:
+                # each host holds its loader slice; assemble the global
+                # batch across hosts (same pattern as cl/episode.py)
+                shardings = batch_shardings(batch, self.mesh)
+                return {
+                    k: jax.make_array_from_process_local_data(
+                        shardings[k], np.asarray(v))
+                    for k, v in batch.items()
+                }
+            # eval runs the same data on every host: replicate
+            shardings = replicated(batch, self.mesh)
+            return {k: jax.device_put(jnp.asarray(v), shardings[k])
+                    for k, v in batch.items()}
+        if not is_training:
+            # eval window chunks are sized for throughput, not the mesh
+            # (chunk may be < data axis); replicate — eval is a tiny
+            # fraction of episode time and values are unchanged
+            return jax.device_put(batch, replicated(batch, self.mesh))
         return jax.device_put(batch, batch_shardings(batch, self.mesh))
 
     def _replicate(self, tree):
@@ -398,15 +417,34 @@ class VQEpisodeRunner:
             "before_query": before,
         }
 
-    def _train_batches(self, videos, rng, batch_size=None):
+    def _train_batches(self, videos, rng, batch_size=None, *,
+                       epoch_key: int = 0):
+        """Yield per-optimizer-step batches; one yielded batch = one step
+        = accumulation_steps micro-batches of batch_size
+        (train_anchor.py:88-106 semantics).
+
+        Under multi-host DP each yielded batch is THIS process's slice of
+        the global step batch. Sampling is process-count-invariant: the
+        permutation comes from the caller-shared `rng` (same seed on
+        every host) and each position's window draws use an rng keyed by
+        (epoch_key, step, global position), so the assembled global batch
+        is byte-identical for any host layout."""
+        pc, pid = jax.process_count(), jax.process_index()
         idx = rng.permutation(len(videos))
-        # one yielded batch = one optimizer step = accumulation_steps
-        # micro-batches of batch_size (train_anchor.py:88-106 semantics)
-        B = batch_size or self.batch_size * self.accumulation_steps
+        B_local = batch_size or self.batch_size * self.accumulation_steps
+        B = B_local * pc
+        pool = np.resize(idx, max(len(idx), B))
         for b in range(max(len(idx) // B, 1)):
-            sel = [videos[i] for i in
-                   np.resize(idx, max(len(idx), B))[b * B:(b + 1) * B]]
-            parts = [self._sample_window(s, rng) for s in sel]
+            gsel = pool[b * B:(b + 1) * B]
+            lo = pid * B_local
+            parts = []
+            for off in range(B_local):
+                gpos = lo + off
+                win_rng = np.random.default_rng(
+                    np.random.SeedSequence(
+                        [self.seed, epoch_key, b, int(gpos)]))
+                parts.append(
+                    self._sample_window(videos[gsel[gpos]], win_rng))
             yield {
                 k: jnp.asarray(np.stack([p[k] for p in parts]))
                 for k in parts[0]
@@ -434,7 +472,10 @@ class VQEpisodeRunner:
         t0 = time.time()
         n = 0
         for ep in range(self.epochs):
-            for batch in self._train_batches(videos, rng):
+            for batch in self._train_batches(
+                    videos, np.random.default_rng(
+                        np.random.SeedSequence([self.seed, j, ep])),
+                    epoch_key=(j << 16) | ep):
                 if self.augment:
                     # on-device augmentation (process_data,
                     # VQ/dataset/dataset_utils.py:76-197)
@@ -479,10 +520,16 @@ class VQEpisodeRunner:
         grad_fn = jax.jit(grad_fn)
         acc = None
         # micro batch_size: importance estimation must not pay the
-        # accumulated K*B device footprint
-        for batch in self._train_batches(videos, rng, self.batch_size):
-            g = grad_fn(self.params, self._to_device(batch))
-            acc = g if acc is None else jax.tree.map(jnp.add, acc, g)
+        # accumulated K*B device footprint. The reference zeroes grads at
+        # the TOP of every estimation iteration (VQ/cl_methods/EWC.py:40,
+        # same quirk as MQ — pinned by test_cl_lockstep), so only the
+        # LAST batch's gradient becomes the importance.
+        last = None
+        for batch in self._train_batches(videos, rng, self.batch_size,
+                                         epoch_key=-1):
+            last = batch
+        if last is not None:
+            acc = grad_fn(self.params, self._to_device(last))
         if acc is None:
             return
         imp = jax.tree.map(
@@ -524,8 +571,11 @@ class VQEpisodeRunner:
                     [clips,
                      np.repeat(clips[-1:], chunk - len(sel), axis=0)]
                 )
+            ev = self._to_device(
+                {"clip": jnp.asarray(clips), "query": queries},
+                is_training=False)
             bbox_b, prob_b = self.eval_step(
-                self.params, jnp.asarray(clips), queries
+                self.params, ev["clip"], ev["query"]
             )
             bbox_b = np.asarray(bbox_b[:len(sel)])
             prob_b = np.asarray(prob_b[:len(sel)])
