@@ -11,7 +11,7 @@ from vilco_tpu.kernels.banded_attention import banded_attention_fused
 from vilco_tpu.ops.attention import banded_attention
 
 
-@pytest.mark.parametrize("window,T", [(4, 64), (8, 64)])
+@pytest.mark.parametrize("window,T", [(4, 128), (8, 256)])
 def test_fused_matches_xla(rng, window, T):
     B, H, D = 2, 2, 16
     q, k, v = (rng.standard_normal((B, T, H, D)).astype(np.float32)
@@ -30,7 +30,7 @@ def test_fused_matches_xla(rng, window, T):
 
 
 def test_fused_gradients_match(rng):
-    B, T, H, D, w = 1, 32, 2, 8, 4
+    B, T, H, D, w = 1, 128, 2, 8, 4
     q, k, v = (rng.standard_normal((B, T, H, D)).astype(np.float32)
                for _ in range(3))
     mask = np.ones((B, T), bool)
@@ -48,6 +48,45 @@ def test_fused_gradients_match(rng):
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(jq, jk, jv)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.parametrize("T,w,valid", [(256, 4, (256, 181)),
+                                       (128, 4, (128, 128)),
+                                       # w=9 needs T % 9 == 0 for the
+                                       # XLA reference and T % 128 == 0
+                                       # for the kernel: 1152 = 9 * 128
+                                       (1152, 9, (1152, 1000)),
+                                       # no 128-multiple divides 160:
+                                       # exercises the XLA fallback
+                                       (160, 4, (160, 121))])
+def test_fused_banded_bwd_masked(rng, T, w, valid):
+    """The flash-style fused backward (dq + dkv kernels) against the XLA
+    blocked backward at NLQ-like shapes, with padded rows — covers the
+    lse/delta halo handling and the invalid-row masking."""
+    B, H, D = 2, 2, 16
+    q, k, v = (rng.standard_normal((B, T, H, D)).astype(np.float32)
+               for _ in range(3))
+    mask = np.arange(T)[None, :] < np.asarray(valid)[:, None]
+    jq, jk, jv, jm = map(jnp.asarray, (q, k, v, mask))
+    # non-uniform cotangent (sum-of-squares hides sign errors less well)
+    wgt = jnp.asarray(
+        rng.standard_normal((B, T, H, D)).astype(np.float32))
+
+    def loss_fused(q_, k_, v_):
+        return jnp.sum(
+            banded_attention_fused(q_, k_, v_, jm, w, 0, True) * wgt)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(banded_attention(q_, k_, v_, jm, window=w) * wgt)
+
+    np.testing.assert_allclose(
+        float(loss_fused(jq, jk, jv)), float(loss_ref(jq, jk, jv)),
+        rtol=1e-5)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(jq, jk, jv)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(jq, jk, jv)
+    for a, b, nm in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, err_msg=f"d{nm}")
 
 
 def test_fused_full_attention_matches_xla(rng, monkeypatch):

@@ -25,7 +25,8 @@ with jax.default_device(cpu):
     # unfused twin init on CPU — the Pallas kernels hold no params
     params = model.clone(use_fused=False).init(jax.random.PRNGKey(0), jnp.zeros((1,1,S,S,3), jnp.float32), jnp.zeros((1,S,S,3), jnp.float32), deterministic=True)["params"]
 params = jax.device_put(params, accel)
-tx = optax.adamw(1e-4, weight_decay=1e-4)
+from vilco_tpu.train.vq_engine import make_vq_optimizer
+tx = make_vq_optimizer(1e-4, 1e-4, freeze_backbone=True)
 with jax.default_device(cpu):
     opt_state = tx.init(jax.device_put(params, cpu))
 state = VQTrainState(step=jnp.zeros((), jnp.int32), params=params,

@@ -243,10 +243,15 @@ class MaskedMHCA(nn.Module):
             k = k.reshape(B, Tk, H, D)
             v = v.reshape(B, Tk, H, D)
         if self.window > 0 and Tq == Tk:
-            # the fused banded kernel needs Mosaic-alignable slices
-            # (window multiple of 128); real configs use small windows
-            # (9/19) where the XLA blocked banded form is the fast path
-            if self.use_fused and self.window % 128 == 0:
+            # fused banded kernel (fwd + flash-style bwd) whenever a
+            # legal query block exists (kernels/banded_attention.py:
+            # _pick_block — covers every NLQ level except T=40); the XLA
+            # blocked form's backward turns the halo gather into a
+            # scatter-add, the top op of the NLQ flagship step (round-4
+            # profile: 4 x 5.1 ms/trace)
+            import os as _os
+            if self.use_fused and not _os.environ.get(
+                    "VILCO_DISABLE_FUSED_BANDED"):
                 from vilco_tpu.kernels.banded_attention import (
                     banded_attention_fused,
                 )
