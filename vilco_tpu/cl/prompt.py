@@ -81,6 +81,14 @@ class PromptPool(nn.Module):
                 counts = jnp.zeros((self.pool_size,), jnp.int32).at[
                     idx.reshape(-1)
                 ].add(1)
+                # majority vote == the reference's unique+topk
+                # (prompt.py:71-82) except COUNT TIES: torch.topk's order
+                # for equal values is unspecified (observed picking the
+                # higher id on CPU), ours is deterministically the lowest
+                # id — a documented, unpinnable difference. (The
+                # reference's count-0 padding can never win: every row
+                # contributes top_k distinct ids, so at least top_k
+                # prompts always carry positive counts.)
                 _, major = jax.lax.top_k(counts, self.top_k)
                 idx = jnp.broadcast_to(major[None, :],
                                        (x_embed.shape[0], self.top_k))
