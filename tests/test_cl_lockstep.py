@@ -416,3 +416,62 @@ def test_l2p_prompt_forward_lockstep(ref, rng):
                                atol=1e-6)
     np.testing.assert_allclose(float(ours["reduce_sim"]),
                                float(tout["reduce_sim"]), rtol=1e-5)
+
+
+# ------------------------------------------------ narration-SSL InfoNCE
+
+def test_narration_ssl_lockstep(ref, rng, monkeypatch):
+    """MemoryBank ring updates (meta_archs.py:38-60) + the masked
+    contrastive loss (:1350-1371) with the reference's call-site order
+    (:941-943: bank.update BEFORE the loss, so each valid row's own
+    detached narration sits among its negatives). Drives both through 4
+    batches with varying validity masks, pinning the bank contents, the
+    wrap-around pointer, and every loss value."""
+    import jax
+    import jax.numpy as jnp
+
+    from vilco_tpu.train.engine import _ring_update, narration_ssl_loss
+
+    # the reference hardcodes .cuda() on the bank and the CE labels
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self: self)
+
+    M, D, BB, TEMP = 10, 16, 4, 0.07
+    torch.manual_seed(0)
+    tbank = ref.modeling.meta_archs.MemoryBank(M, D)
+    bank = jnp.asarray(tbank.memory.numpy())
+    ptr = jnp.asarray(0, jnp.int32)
+
+    masks = [np.array([1, 1, 0, 1]), np.array([1, 1, 1, 1]),
+             np.array([0, 1, 1, 0]), np.array([1, 0, 1, 1])]
+    for step_i, mvec in enumerate(masks):
+        nf = rng.standard_normal((BB, D)).astype(np.float32)
+        vf = rng.standard_normal((BB, D)).astype(np.float32)
+        nf /= np.linalg.norm(nf, axis=1, keepdims=True)
+        vf /= np.linalg.norm(vf, axis=1, keepdims=True)
+        mask_b = mvec.astype(bool)
+
+        # reference call-site order (meta_archs.py:941-943)
+        tnf = torch.from_numpy(nf)
+        tvf = torch.from_numpy(vf)
+        tmask = torch.from_numpy(mask_b)
+        tbank.update(tnf[tmask])
+        holder = ref.modeling.meta_archs.PtTransformer.__new__(
+            ref.modeling.meta_archs.PtTransformer)
+        holder.memory_bank = tbank
+        t_loss = ref.modeling.meta_archs.PtTransformer.\
+            masked_contrastive_loss(holder, tnf, tvf, tmask,
+                                    temperature=TEMP)
+
+        ours = narration_ssl_loss(
+            jnp.asarray(nf), jnp.asarray(vf), jnp.asarray(mask_b),
+            bank, ptr, TEMP)
+        np.testing.assert_allclose(float(ours), float(t_loss), rtol=1e-5,
+                                   err_msg=f"ssl step {step_i}")
+
+        # advance our persistent bank exactly like the train step does
+        bank, ptr = _ring_update(bank, ptr, jnp.asarray(nf),
+                                 jnp.asarray(mask_b))
+        np.testing.assert_allclose(np.asarray(bank),
+                                   tbank.memory.numpy(), atol=1e-7,
+                                   err_msg=f"bank step {step_i}")
+        assert int(ptr) == tbank.ptr % M, f"ptr step {step_i}"

@@ -209,20 +209,11 @@ def compute_losses(
     # --- narration-SSL InfoNCE vs the memory bank
     # (masked_contrastive_loss, meta_archs.py:1351-1372)
     if "narration_feat" in outputs and cl.memory_bank is not None:
-        nf = outputs["narration_feat"]                     # (B, D)
-        vf = outputs["video_feat"]
-        nvalid = outputs["narration_valid"].astype(jnp.float32)
-        pos = jnp.sum(nf * vf, axis=-1, keepdims=True)     # (B, 1)
-        neg_t = nf @ cl.memory_bank.T                      # (B, M)
-        neg_v = vf @ cl.memory_bank.T
-        temp = tc.temperature
-        lt = jnp.concatenate([pos, neg_t], axis=1) / temp
-        lv = jnp.concatenate([pos, neg_v], axis=1) / temp
-        ce = lambda l: -jax.nn.log_softmax(l, axis=-1)[:, 0]
-        per_row = 0.5 * (ce(lt) + ce(lv))
-        denom = jnp.maximum(jnp.sum(nvalid), 1.0)
-        ssl = jnp.sum(per_row * nvalid) / denom
-        ssl = ssl * cfg.cl_cfg.ssl_factor
+        ssl = narration_ssl_loss(
+            outputs["narration_feat"], outputs["video_feat"],
+            outputs["narration_valid"], cl.memory_bank, cl.memory_ptr,
+            tc.temperature,
+        ) * cfg.cl_cfg.ssl_factor
         final = final + ssl
         metrics["ssl_loss"] = ssl
 
@@ -243,6 +234,30 @@ def _ring_update(bank, ptr, feats, valid):
     bank = bank.at[idx].set(feats, mode="drop")
     new_ptr = (ptr + jnp.sum(valid.astype(jnp.int32))) % M
     return bank, new_ptr
+
+
+def narration_ssl_loss(nf, vf, narration_valid, bank, ptr,
+                       temperature: float):
+    """masked_contrastive_loss (meta_archs.py:1350-1371) with the
+    reference's call-site quirk reproduced: the memory bank is UPDATED
+    with the batch's (detached) narration features BEFORE the loss
+    (:941-943), so every valid row sees its own narration among the
+    negatives — the MoCo self-collision the reference actually trains
+    with. The bank stays gradient-free (torch stores it under no_grad).
+    Masked rows are excluded by weight (the reference indexes [mask] and
+    cross_entropy means over the kept rows)."""
+    nvalid = narration_valid.astype(jnp.float32)
+    neg_bank, _ = _ring_update(
+        bank, ptr, jax.lax.stop_gradient(nf), narration_valid)
+    pos = jnp.sum(nf * vf, axis=-1, keepdims=True)         # (B, 1)
+    neg_t = nf @ neg_bank.T                                # (B, M)
+    neg_v = vf @ neg_bank.T
+    lt = jnp.concatenate([pos, neg_t], axis=1) / temperature
+    lv = jnp.concatenate([pos, neg_v], axis=1) / temperature
+    ce = lambda l: -jax.nn.log_softmax(l, axis=-1)[:, 0]
+    per_row = 0.5 * (ce(lt) + ce(lv))
+    denom = jnp.maximum(jnp.sum(nvalid), 1.0)
+    return jnp.sum(per_row * nvalid) / denom
 
 
 def cast_input_features(batch, compute_dtype: str):
