@@ -50,6 +50,11 @@ check("fused_attention", fused_attention,
 check("banded_attention", lambda q_, k_, v_, m_: banded_attention_fused(q_, k_, v_, m_, 64),
       lambda q_, k_, v_, m_: banded_xla(q_, k_, v_, m_, 64), q, k, v, mask)
 
+# NLQ-like small window (w=4): exercises the aligned-halo reads + the
+# flash-style fused backward at the shipped window size
+check("banded_attention_w4", lambda q_, k_, v_, m_: banded_attention_fused(q_, k_, v_, m_, 4),
+      lambda q_, k_, v_, m_: banded_xla(q_, k_, v_, m_, 4), q, k, v, mask)
+
 r = jax.random.normal(ks[3], (2 * T, H, D), jnp.bfloat16)
 rwb = jax.random.normal(ks[4], (H, D), jnp.bfloat16) * 0.02
 rrb = jax.random.normal(ks[5], (H, D), jnp.bfloat16) * 0.02
