@@ -235,3 +235,58 @@ def test_fused_attention_blc_wide_head(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref).reshape(B, T, C), atol=2e-5,
             err_msg=f"H={H} D={D}")
+
+
+@pytest.mark.parametrize("n_frames,fr,w", [(6, 8, 1), (8, 8, 2), (7, 16, 2)])
+def test_frame_band_attention_matches_xla(rng, n_frames, fr, w):
+    """Frame-banded st-encoder kernel == dense attention with the additive
+    temporal_band_mask (get_mask :457-471), values + gradients."""
+    from vilco_tpu.kernels import frame_band as fb
+
+    B, C, H = 2, 128, 2
+    L = n_frames * fr
+    bq = fr if fr >= 16 else 2 * fr       # small test blocks (HW uses 128)
+    assert fb.supports(L, C, H, fr, w, block_q=bq)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, L, C)), jnp.float32)
+               for _ in range(3))
+
+    ref = fb._xla_ref(q, k, v, H, fr, w)
+    out = fb.frame_band_attention(q, k, v, H, fr, w, bq, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def lf(q_, k_, v_):
+        return jnp.sum(fb.frame_band_attention(q_, k_, v_, H, fr, w,
+                                               bq, True) ** 2)
+
+    def lr(q_, k_, v_):
+        return jnp.sum(fb._xla_ref(q_, k_, v_, H, fr, w) ** 2)
+
+    g1 = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b, nm in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                                   err_msg=f"d{nm}")
+
+
+def test_frame_band_matches_encoder_layer_mask():
+    """The kernel's band equals temporal_band_mask's semantics on the
+    exact flagship geometry scaled down (fr=R*R tokens, window//2 frames),
+    through the EncoderLayer fallback path."""
+    from vilco_tpu.kernels import frame_band as fb
+    from vilco_tpu.models.clip_matcher import temporal_band_mask
+
+    rng = np.random.default_rng(3)
+    n_frames, fr, w, H, C = 7, 16, 2, 4, 128
+    L = n_frames * fr
+    q, k, v = (jnp.asarray(rng.standard_normal((B_, L, C)), jnp.float32)
+               for B_ in (1, 1, 1))
+    # dense reference using the model's own additive mask
+    split = lambda t: t.reshape(1, L, H, C // H)
+    scale = (C // H) ** -0.5
+    a = jnp.einsum("bqhd,bkhd->bhqk", split(q) * scale, split(k),
+                   preferred_element_type=jnp.float32)
+    a = a + jnp.asarray(temporal_band_mask(n_frames, fr, 2 * w + 1))[None, None]
+    a = jax.nn.softmax(a, axis=-1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", a, split(v)).reshape(1, L, C)
+    out = fb.frame_band_attention(q, k, v, H, fr, w, 16, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -208,6 +208,41 @@ def test_vq_episode_end_to_end(tmp_path):
     assert (tmp_path / "vq_task_001.ckpt").exists()
 
 
+@pytest.mark.parametrize("method", ["ewc", "mas"])
+def test_vq_episode_ewc_mas_smoke(tmp_path, method):
+    """EWC/MAS importance estimation after each task must not crash
+    (regression: epoch_key=-1 fed np.random.SeedSequence, which rejects
+    negative entropy -> ValueError on the first estimation batch) and must
+    produce a non-empty importance stack used by the next task."""
+    from vilco_tpu.tasks.vq import (
+        SyntheticVQSource,
+        VQEpisodeRunner,
+        VQTaskStream,
+        make_synthetic_vq_split,
+    )
+
+    rng = np.random.default_rng(0)
+    train, val = make_synthetic_vq_split(
+        rng, num_tasks=2, cats_per_task=1, samples_per_cat_train=3,
+        samples_per_cat_val=1, num_frames=12, window=4,
+    )
+    stream = VQTaskStream(train, val)
+    src = SyntheticVQSource(frame_size=32)
+    runner = VQEpisodeRunner(
+        stream, src, str(tmp_path), window=4, frame_size=32,
+        method=method, epochs=1, batch_size=2, lr=2e-3,
+    )
+    results = runner.run()
+    assert len(results["tasks"]) == 2
+    # importance estimated after task 0 (only non-final tasks estimate)
+    assert len(runner.reg_list) == 1
+    imp, optpar = runner.reg_list[0]
+    leaves = jax.tree.leaves(imp)
+    assert leaves and all(np.all(np.isfinite(g)) for g in leaves)
+    if method == "ewc":
+        assert all((g >= 0).all() for g in leaves)
+
+
 def test_vit_torch_checkpoint_import(tmp_path):
     """Round-trip: synthesize a timm/DINO-style torch state dict, import it,
     and check a forward pass equals a torch-free reference computation of

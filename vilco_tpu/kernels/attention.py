@@ -34,6 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 from vilco_tpu.ops.attention import masked_attention as masked_attention_xla
 
 NEG_INF = -1e9
+LOG2E = 1.4426950408889634
+# Row-max floor: masked scores sit at NEG_INF, so clamping the row max at
+# -1e8 makes fully-masked rows underflow to e = exp2(s - m) = 0 (otherwise
+# s - m == 0 there and every masked key would get weight 1). This removes
+# BOTH the v-zeroing multiply and the output q-row masking: e == 0 at every
+# masked key kills their contribution to o, dv and dk exactly.
+_ROWMAX_FLOOR = -1e8
 
 
 def _block_size(T: int) -> int:
@@ -52,60 +59,87 @@ def _use_kernel(q, k) -> bool:
     return (Tq >= 128 and Tk >= 128 and Tq % _block_size(Tq) == 0)
 
 
-def _p_block(q_ref, k_ref, m_ref, *, scale):
-    # MXU operands stay in the INPUT dtype (bf16 on the hot path) with f32
-    # accumulation — pre-dot f32 casts measured ~16-27% MXU (f32 MXU runs
-    # at ~1/4 bf16 throughput on v5e). Softmax stays f32 — strictly more
-    # precise than the XLA path's x.dtype softmax; no-op for f32 inputs.
-    q = q_ref[0, 0]                                   # (S, D)
-    k = k_ref[0, 0]                                   # (Tk, D)
-    m = m_ref[0, 0]                                   # (Tk,)
+def _e_block(q, k, bias, *, scale):
+    """Unnormalized softmax numerator e and per-row reciprocal sum r.
+
+    MXU operands stay in the INPUT dtype (bf16 on the hot path) with f32
+    accumulation — pre-dot f32 casts measured ~16-27% MXU (f32 MXU runs
+    at ~1/4 bf16 throughput on v5e). Softmax stays f32.
+
+    VPU-pass economy (the VQ ViT measured 103 ms/step at 23% MXU with the
+    older where/exp/divide form — VPU-softmax-bound, RESULTS.md round 4):
+    - scale * log2(e) folds into q BEFORE the dot (an (S, D) pass) so the
+      score tile needs no multiply; exp2 is the hardware transcendental.
+    - masking is ONE fused broadcast-add of a (1, Tk) bias row instead of
+      a (S, Tk) select, and the _ROWMAX_FLOOR clamp makes e == 0 exact at
+      masked keys so no v/dv/q-row mask multiplies are needed anywhere.
+    - normalization is DEFERRED: callers scale the (S, D) output rows by
+      r instead of dividing the (S, Tk) probability tile.
+    """
+    qs = q * jnp.asarray(scale * LOG2E, q.dtype)      # (S, D) — cheap
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                                         # (S, Tk) f32
-    s = jnp.where(m[None, :] > 0, s, NEG_INF)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    return p, m
+    ) + bias                                          # (S, Tk) f32
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), _ROWMAX_FLOOR)
+    e = jnp.exp2(s - m)                               # masked keys -> 0
+    # valid rows have l >= 1 (the max element maps to exp2(0) = 1);
+    # fully-masked rows have l == 0 and the tiny epsilon yields o == 0.
+    r = 1.0 / (jnp.sum(e, axis=-1) + 1e-30)           # (S,)
+    return e, r
+
+
+def _mask_bias(m):
+    # (Tk,) int -> (1, Tk) f32 additive bias, computed once per program
+    return jnp.where(m > 0, 0.0, NEG_INF)[None, :].astype(jnp.float32)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale):
-    p, m = _p_block(q_ref, k_ref, m_ref, scale=scale)
+    q = q_ref[0, 0]                                   # (S, D)
+    k = k_ref[0, 0]                                   # (Tk, D)
     v = v_ref[0, 0]
-    vz = v * (m[:, None] > 0).astype(v.dtype)
+    e, r = _e_block(q, k, _mask_bias(m_ref[0, 0]), scale=scale)
     o = jax.lax.dot_general(
-        p.astype(v.dtype), vz, (((1,), (0,)), ((), ())),
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    )                                                 # (S, D) f32
+    o_ref[0, 0] = (o * r[:, None]).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale):
-    p, m = _p_block(q_ref, k_ref, m_ref, scale=scale)
     dt = q_ref.dtype
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
-    vz = v * (m[:, None] > 0).astype(v.dtype)
+    e, r = _e_block(q, k, _mask_bias(m_ref[0, 0]), scale=scale)
 
+    # p = e * r[:, None]; fold the row scale into the SMALL (S, D)
+    # operands instead of touching the (S, Tk) tile:
+    #   dv = p^T dO          = e^T (dO * r)
+    #   ds = p*(dp - c)      = r * t,  t = e*(dp - c),  c = r*rowsum(dp*e)
+    #   dq = ds K * scale    = (t K) * (scale * r)
+    #   dk = ds^T Q * scale  = t^T (Q * scale * r)
+    # e == 0 at masked keys makes the dv/dk rows for them exactly 0.
+    dop = (do * r[:, None].astype(do.dtype))
     dv = jax.lax.dot_general(
-        p.astype(dt), do, (((0,), (0,)), ((), ())),
+        e.astype(dt), dop, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (m[:, None] > 0)                              # (Tk, D) f32
+    )                                                 # (Tk, D) f32
     dp = jax.lax.dot_general(
-        do, vz, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )                                                 # (S, Tk) f32
-    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(dt)
+    c = jnp.sum(dp * e, axis=-1, keepdims=True) * r[:, None]
+    t = (e * (dp - c)).astype(dt)
+    sr = (scale * r)[:, None]
     dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * scale
+        t, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * sr
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * scale
+        t, (q * sr.astype(q.dtype)), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
@@ -235,33 +269,25 @@ fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _fwd_kernel_blc(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale, D):
-    m = m_ref[0, 0]                                   # (Tk,)
+    bias = _mask_bias(m_ref[0, 0])                    # (1, Tk)
     W = q_ref.shape[-1]
     outs = []
     for hh in range(W // D):
         q = q_ref[0][:, hh * D:(hh + 1) * D]          # (S, D)
         k = k_ref[0][:, hh * D:(hh + 1) * D]          # (Tk, D)
         v = v_ref[0][:, hh * D:(hh + 1) * D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = jnp.where(m[None, :] > 0, s, NEG_INF)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        vz = v * (m[:, None] > 0).astype(v.dtype)
+        e, r = _e_block(q, k, bias, scale=scale)
         o = jax.lax.dot_general(
-            p.astype(v.dtype), vz, (((1,), (0,)), ((), ())),
+            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        outs.append(o.astype(o_ref.dtype))
+        outs.append((o * r[:, None]).astype(o_ref.dtype))
     o_ref[0] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _bwd_kernel_blc(q_ref, k_ref, v_ref, m_ref, do_ref,
                     dq_ref, dk_ref, dv_ref, *, scale, D):
-    m = m_ref[0, 0]
+    bias = _mask_bias(m_ref[0, 0])
     dt = q_ref.dtype
     W = q_ref.shape[-1]
 
@@ -277,33 +303,29 @@ def _bwd_kernel_blc(q_ref, k_ref, v_ref, m_ref, do_ref,
         k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
         do = do_ref[0][:, sl]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = jnp.where(m[None, :] > 0, s, NEG_INF)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        vz = v * (m[:, None] > 0).astype(v.dtype)
+        e, r = _e_block(q, k, bias, scale=scale)
 
+        # deferred normalization: see _bwd_kernel for the factoring
+        dop = do * r[:, None].astype(do.dtype)
         dv = jax.lax.dot_general(
-            p.astype(dt), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (m[:, None] > 0)
-        dp = jax.lax.dot_general(
-            do, vz, (((1,), (1,)), ((), ())),
+            e.astype(dt), dop, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(dt)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        c = jnp.sum(dp * e, axis=-1, keepdims=True) * r[:, None]
+        t = (e * (dp - c)).astype(dt)
+        sr = (scale * r)[:, None]
         dq = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            t, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ) * sr
         dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            t, (q * sr.astype(q.dtype)), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         dqs.append(dq.astype(dq_ref.dtype))
         dks.append(dk)
         dvs.append(dv)

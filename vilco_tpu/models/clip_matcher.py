@@ -156,11 +156,21 @@ class DecoderLayer(nn.Module):
 
 class EncoderLayer(nn.Module):
     """torch TransformerEncoderLayer equivalent with an additive attention
-    mask (feat_corr_transformer :222-234)."""
+    mask (feat_corr_transformer :222-234).
+
+    With use_fused=True and a frame-band eligible shape
+    (kernels/frame_band.py::supports) the attention runs through the fused
+    frame-banded Pallas kernel instead of materializing the full (L, L)
+    additive-mask scores (~16 ms/step of the VQ flagship in the XLA form,
+    RESULTS.md round-4 profile); `fr`/`band_w` carry the frame geometry
+    (tokens per frame, frames each side)."""
 
     dim: int
     num_heads: int
     ff: int
+    use_fused: bool = False
+    fr: int = 0
+    band_w: int = 0
 
     @nn.compact
     def __call__(self, x, attn_mask):
@@ -175,18 +185,28 @@ class EncoderLayer(nn.Module):
         wqkv, bqkv = _DenseParams(3 * C, C, name="qkv")()
         wqkv = wqkv.astype(x.dtype)
         bqkv = bqkv.astype(x.dtype)
-        q = (x @ wqkv[:, :C] + bqkv[:C]).reshape(B, L, H, C // H)
-        k = (x @ wqkv[:, C:2 * C] + bqkv[C:2 * C]).reshape(B, L, H, C // H)
-        v = (x @ wqkv[:, 2 * C:] + bqkv[2 * C:]).reshape(B, L, H, C // H)
-        scale = (C // H) ** -0.5
-        a = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                       preferred_element_type=jnp.float32)
-        a = a + attn_mask[None, None]
-        a = jax.nn.softmax(a, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", a, v,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        q = x @ wqkv[:, :C] + bqkv[:C]
+        k = x @ wqkv[:, C:2 * C] + bqkv[C:2 * C]
+        v = x @ wqkv[:, 2 * C:] + bqkv[2 * C:]
+        from vilco_tpu.kernels.frame_band import (
+            frame_band_attention, supports,
+        )
+
+        if (self.use_fused and self.fr > 0
+                and supports(L, C, H, self.fr, self.band_w)):
+            o = frame_band_attention(q, k, v, H, self.fr, self.band_w)
+        else:
+            split = lambda t: t.reshape(B, L, H, C // H)
+            scale = (C // H) ** -0.5
+            a = jnp.einsum("bqhd,bkhd->bhqk", split(q) * scale, split(k),
+                           preferred_element_type=jnp.float32)
+            a = a + attn_mask[None, None]
+            a = jax.nn.softmax(a, axis=-1).astype(x.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", a, split(v),
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype).reshape(B, L, C)
         x = nn.LayerNorm(name="norm1", dtype=x.dtype)(
-            x + nn.Dense(C, name="proj", dtype=x.dtype)(o.reshape(B, L, C))
+            x + nn.Dense(C, name="proj", dtype=x.dtype)(o)
         )
         h = nn.Dense(self.ff, name="ff1", dtype=x.dtype)(x)
         h = gelu(h)
@@ -310,8 +330,12 @@ class ClipMatcher(nn.Module):
             ConvBlock2D(self.dim, stride=2, norm=self.norm, name=f"down_{i}")
             for i in range(self.n_down)
         ]
+        R = self.resolution_transformer
         self.st_layers = [
-            EncoderLayer(self.dim, 8, 8 * self.dim, name=f"st_{i}")
+            EncoderLayer(self.dim, 8, 8 * self.dim,
+                         use_fused=self.use_fused, fr=R * R,
+                         band_w=self.window_transformer // 2,
+                         name=f"st_{i}")
             for i in range(self.num_transformer)
         ]
         self.head = AnchorHead(

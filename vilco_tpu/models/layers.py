@@ -245,7 +245,9 @@ class MaskedMHCA(nn.Module):
         if self.window > 0 and Tq == Tk:
             # fused banded kernel (fwd + flash-style bwd) whenever a
             # legal query block exists (kernels/banded_attention.py:
-            # _pick_block — covers every NLQ level except T=40); the XLA
+            # _pick_block needs a 128-multiple block dividing T, so only
+            # T%128==0 levels use it — NLQ 2560/1280/640/... but NOT
+            # 320/160/80/40, which fall back to the XLA blocked form); the
             # blocked form's backward turns the halo gather into a
             # scatter-add, the top op of the NLQ flagship step (round-4
             # profile: 4 x 5.1 ms/trace)

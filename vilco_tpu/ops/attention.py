@@ -84,9 +84,12 @@ def banded_attention(
         att = jnp.where(banded_kv[:, None], att, NEG_INF)
         att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
         vz = v * kv_mask[:, :, None, None].astype(v.dtype)
-        return jnp.einsum("bhqk,bkhd->bqhd", att, vz,
-                          preferred_element_type=jnp.float32).astype(
-                              q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, vz,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        # Zero invalid query rows, matching the blocked path below and the
+        # fused kernel (a fully-masked row softmaxes to uniform over zeroed
+        # vz, but keep the semantics identical across T regimes).
+        return out * kv_mask[:, :, None, None].astype(out.dtype)
     assert T % w == 0, f"T={T} must be divisible by window={w}"
 
     # Query block size: the largest multiple of w that is <= 128 and divides

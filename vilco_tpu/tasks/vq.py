@@ -46,6 +46,11 @@ from vilco_tpu.train.vq_engine import (
 
 log = logging.getLogger("vilco.vq")
 
+# epoch_key sentinel for the EWC/MAS importance-estimation pass.
+# Training epochs key batches by (task << 16) | epoch, which can never
+# reach this value at ViLCo scale (5 tasks x <=30 epochs).
+_IMPORTANCE_EPOCH_KEY = 0x7FFF0000
+
 
 class VQTaskStream:
     """Category-keyed QIL stream (VQ/dataset/cl_benchmark.py:18-120):
@@ -418,7 +423,7 @@ class VQEpisodeRunner:
         }
 
     def _train_batches(self, videos, rng, batch_size=None, *,
-                       epoch_key: int = 0):
+                       epoch_key: int = 0, last_only: bool = False):
         """Yield per-optimizer-step batches; one yielded batch = one step
         = accumulation_steps micro-batches of batch_size
         (train_anchor.py:88-106 semantics).
@@ -434,7 +439,11 @@ class VQEpisodeRunner:
         B_local = batch_size or self.batch_size * self.accumulation_steps
         B = B_local * pc
         pool = np.resize(idx, max(len(idx), B))
-        for b in range(max(len(idx) // B, 1)):
+        n_steps = max(len(idx) // B, 1)
+        # `last_only` materializes ONLY the final step batch: window rngs
+        # are keyed by (epoch_key, step, gpos) — independent of earlier
+        # steps — so skipping them yields an identical last batch.
+        for b in range(n_steps - 1 if last_only else 0, n_steps):
             gsel = pool[b * B:(b + 1) * B]
             lo = pid * B_local
             parts = []
@@ -523,10 +532,14 @@ class VQEpisodeRunner:
         # accumulated K*B device footprint. The reference zeroes grads at
         # the TOP of every estimation iteration (VQ/cl_methods/EWC.py:40,
         # same quirk as MQ — pinned by test_cl_lockstep), so only the
-        # LAST batch's gradient becomes the importance.
+        # LAST batch's gradient becomes the importance — and only that
+        # batch is materialized (last_only). epoch_key is a reserved
+        # non-negative sentinel: SeedSequence rejects negative entropy,
+        # and training epochs use (j << 16) | ep which stays far below it.
         last = None
         for batch in self._train_batches(videos, rng, self.batch_size,
-                                         epoch_key=-1):
+                                         epoch_key=_IMPORTANCE_EPOCH_KEY,
+                                         last_only=True):
             last = batch
         if last is not None:
             acc = grad_fn(self.params, self._to_device(last))
