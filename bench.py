@@ -52,6 +52,41 @@ REFERENCE_GPU_CLIPS_PER_S_ESTIMATE = 16.0
 REFERENCE_GPU_VQ_SAMPLES_PER_S_ESTIMATE = 2.0
 
 
+V5E_BF16_PEAK_FLOPS = 197e12     # per chip
+
+
+def _mfu_detail(make_lowered, step_ms, dispatch_steps=1):
+    """Analytic per-step FLOPs / HBM bytes + MFU for the bench record
+    (VERDICT r4 #7).
+
+    `make_lowered()` must trace+lower a FUSED-OFF twin of the measured
+    step at identical shapes: lowering only (no second device compile —
+    the axon tunnel recompiles even on persistent-cache hits, ~10 min per
+    flagship model), and fused-off so the XLA cost model sees every op
+    (Pallas kernels lower to opaque custom-calls that count zero flops).
+    Pre-optimization HLO: flop counts are exact; "bytes accessed" is an
+    upper bound (fusion removes intermediate traffic) — the measured
+    roofline tables in RESULTS.md remain the bandwidth ground truth.
+    """
+    import jax
+
+    try:
+        ca = make_lowered().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        fl = float(ca.get("flops", float("nan"))) / dispatch_steps
+        by = float(ca.get("bytes accessed", float("nan"))) / dispatch_steps
+        out = {
+            "tflops_step": round(fl / 1e12, 3),
+            "gb_step_preopt": round(by / 1e9, 2),
+        }
+        if jax.devices()[0].platform == "tpu" and step_ms > 0:
+            out["mfu_pct"] = round(
+                fl / (step_ms / 1e3) / V5E_BF16_PEAK_FLOPS * 100, 1)
+        return out
+    except Exception as e:          # cost analysis must never fail a bench
+        return {"cost_analysis_error": f"{type(e).__name__}: {e}"[:120]}
+
+
 def bench_eval(args, cfg, model, params, points, n_params, accel, rng):
     """Inference throughput: batched forward + on-device decode + NMS in
     one jitted call. The reference's eval path is batch-1 with a host
@@ -257,6 +292,12 @@ def bench_vq(args):
     loss_val = float(metrics["final_loss"])
     dt = time.time() - t0
     value = args.steps * B / dt / jax.device_count()
+    step_ms = round(dt / args.steps * 1e3, 2)
+
+    def _lower_twin():
+        ana_step = make_vq_train_step(init_twin, tx, accumulation_steps=A)
+        return ana_step.lower(state, batches[0])
+
     return {
         "metric": "vq_flagship_train_throughput",
         "value": round(value, 3),
@@ -267,12 +308,13 @@ def bench_vq(args):
         "detail": {
             "batch": micro_b, "frames": T, "size": S,
             "steps": args.steps, "accum_steps": A,
-            "step_ms": round(dt / args.steps * 1e3, 2),
+            "step_ms": step_ms,
             "params_m": round(n_params / 1e6, 1),
             "devices": jax.device_count(),
             "platform": jax.devices()[0].platform,
             "loss": loss_val,
             "baseline_estimated": True,
+            **_mfu_detail(_lower_twin, step_ms),
         },
     }
 
@@ -538,6 +580,15 @@ def run_one(args):
     clips_per_s = args.steps * K * B * A / dt
     n_chips = jax.device_count()
     value = clips_per_s / n_chips
+    step_ms = round(dt / (args.steps * K) * 1e3, 2)
+
+    def _lower_twin():
+        ana_step = make_train_step(init_model, tx, points, cfg,
+                                   accumulation_steps=A)
+        b = (batches[0] if K == 1
+             else jax.tree.map(lambda x: x[0], batches[0]))
+        return ana_step.lower(state, b, cl)
+
     return {
         "metric": f"{args.model}_flagship_train_throughput",
         "value": round(value, 3),
@@ -548,12 +599,13 @@ def run_one(args):
             "steps": args.steps,
             "scan_steps": K,
             "accum_steps": A,
-            "step_ms": round(dt / (args.steps * K) * 1e3, 2),
+            "step_ms": step_ms,
             "params_m": round(n_params / 1e6, 1),
             "devices": n_chips,
             "platform": jax.devices()[0].platform,
             "loss": loss_val,
             "baseline_estimated": True,
+            **_mfu_detail(_lower_twin, step_ms),
         },
     }
 

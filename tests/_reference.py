@@ -76,6 +76,18 @@ def _install_shims():
             sys.modules["timm.utils"] = utils_mod
             sys.modules["timm.utils.model_ema"] = ema_mod
 
+    if "lmdb" not in sys.modules:
+        try:
+            import lmdb  # noqa: F401
+        except ImportError:    # narration features only (use_narration off)
+            lm = types.ModuleType("lmdb")
+
+            def _no_lmdb(*a, **k):
+                raise RuntimeError("lmdb stub: narration lmdb not here")
+
+            lm.open = _no_lmdb
+            sys.modules["lmdb"] = lm
+
     if "nms_1d_cpu" not in sys.modules:
         def _no_ext(*a, **k):
             raise RuntimeError("nms_1d_cpu extension is not built here")
@@ -116,6 +128,9 @@ def _load_isolated(root: str):
         import libs.utils  # noqa: F401  (must precede libs.modeling —
         # their circular import only resolves in that order)
         import libs.modeling  # noqa: F401
+        import libs.datasets  # noqa: F401  (QILSetTask + Ego4dCLDataset
+        # for the episode-composition lockstep)
+        import libs.cl_methods  # noqa: F401
         pkg = sys.modules["libs"]
     finally:
         os.chdir(saved_cwd)

@@ -107,7 +107,7 @@ def test_importance_lockstep(ref, rng, tmp_path, monkeypatch, mode):
     points = make_points(cfg)
     grad_step = make_grad_step(model, points, cfg, mode)
     cl = CLBatchExtras(class_mask=jnp.ones((NC,), bool))
-    imp, optpar = estimate_importance(
+    imp, optpar, _ = estimate_importance(
         grad_step, params,
         [to_jax_batch(bt) for bt in batches], cl,
         jnp.asarray(INIT_NORM), mode=mode)

@@ -119,6 +119,12 @@ class EpisodeRunner:
         )
         self.memory = RehearsalMemory(seed=cfg.init_rand_seed)
         self.reg_list: List = []
+        # the loss-normalizer EMA persists across tasks AND through
+        # EWC/MAS estimation forwards: the reference keeps it as a plain
+        # model attribute (meta_archs.py:596), so best-checkpoint reloads
+        # do NOT rewind it and the next task trains from wherever the
+        # previous task (plus any estimation passes) left it
+        self.loss_normalizer = float(cfg.train_cfg.init_loss_norm)
         self.bwf_recall = BwfTracker()
         self.bwf_map = BwfTracker()
         self._setup_eval()
@@ -292,6 +298,54 @@ class EpisodeRunner:
         return out
 
     # ------------------------------------------------------------------
+    def _reset_unseen_classes(self, j: int):
+        """Reference augment_classification parity for the max-width head.
+
+        The reference grows the cls head at each task boundary
+        (meta_archs.py:715-752 + blocks.py:85-105): new-class conv rows
+        are a FRESH kaiming draw, new biases the prior constant, and the
+        per-class Gaussians re-init to (0, 1, -0.5, 1, 0.5, 1). Our head
+        is allocated at the CL maximum once, so rows for classes beyond
+        task j exist during earlier tasks and — with zero gradient under
+        the class mask — would drift under AdamW's decoupled weight decay
+        (sigma *= (1 - lr*wd) per step), which the reference's
+        not-yet-allocated rows cannot. Resetting the not-yet-seen rows at
+        the reference's augment point (called with j+1 at the end of task
+        j) makes each row's state at its own allocation boundary match
+        the reference's semantics exactly (fresh init), killing the decay
+        drift."""
+        if self.cfg.model.variant == "nlq":
+            return            # class-agnostic head, nothing grows
+        seen = np.zeros((self.num_classes,), bool)
+        for c in self.stream.classes_upto(j):
+            seen[c] = True
+        if seen.all():
+            return
+        um = jnp.asarray(~seen)
+        params = jax.tree_util.tree_map(lambda x: x, self.params)
+        import math as _math
+
+        import flax.linen as nn_
+
+        head = params["cls_head"]["cls"]
+        fresh = nn_.initializers.he_uniform()(
+            jax.random.fold_in(jax.random.PRNGKey(self.cfg.init_rand_seed),
+                               1000 + j),
+            head["kernel"].shape, jnp.float32,
+        )
+        head["kernel"] = jnp.where(um[None, None, :], fresh,
+                                   head["kernel"])
+        prior = -_math.log((1 - 0.01) / 0.01)
+        head["bias"] = jnp.where(
+            um, jnp.asarray(prior, head["bias"].dtype), head["bias"])
+        for name, val in (("mu", 0.0), ("sigma", 1.0),
+                          ("mu_reg_left", -0.5), ("sigma_reg_left", 1.0),
+                          ("mu_reg_right", 0.5), ("sigma_reg_right", 1.0)):
+            if name in params:
+                params[name] = jnp.where(
+                    um, jnp.asarray(val, params[name].dtype), params[name])
+        self.params = params
+
     def train_task(self, j: int, n_known: int):
         cfg = self.cfg
         use_memory = cfg.cl_cfg.memory_size > 0 and j > 0
@@ -350,9 +404,7 @@ class EpisodeRunner:
             step=jnp.zeros((), jnp.int32),
             params=self.params,
             opt_state=tx.init(self.params),
-            loss_normalizer=jnp.asarray(
-                cfg.train_cfg.init_loss_norm, jnp.float32
-            ),
+            loss_normalizer=jnp.asarray(self.loss_normalizer, jnp.float32),
             rng=jax.random.PRNGKey(cfg.init_rand_seed + j),
             adapter_ema=adapter_ema,
             params_c=params_c,
@@ -381,8 +433,14 @@ class EpisodeRunner:
         t0 = time.time()
         n_steps = 0
         last_metrics = {}
-        best_score, best_params = -1.0, None
-        for epoch in range(cfg.opt.epochs):
+        best_score, best_params = -np.inf, None
+        # the reference trains max_epochs = epochs + warmup_epochs per task
+        # (MQ/train_cl.py:200-203) and evaluates every epoch from
+        # max_epochs // 3 on, tracking the FIRST epoch achieving the best
+        # score (strict >, :295-299)
+        total_epochs = cfg.opt.total_epochs
+        eval_start = int(total_epochs * cfg.opt.eval_start_ratio + 1e-9)
+        for epoch in range(total_epochs):
             loader.set_epoch(epoch)
             for batch, meta in loader:
                 extras = {}
@@ -430,29 +488,36 @@ class EpisodeRunner:
             self.metrics_log.log("train_epoch", step=int(state.step),
                                  task=j, epoch=epoch, **last_metrics)
 
-            # per-task best-checkpoint tracking (MQ/train_cl.py:283-315)
-            if (cfg.opt.track_best
-                    and epoch + 1 >= cfg.opt.epochs * cfg.opt.eval_start_ratio
-                    and epoch + 1 < cfg.opt.epochs):
+            # per-task best-checkpoint tracking (MQ/train_cl.py:283-315):
+            # every epoch from max_epochs // 3 INCLUDING the last is
+            # evaluated; best is by cfg.opt.best_metric (the MQ reference
+            # selects on the cumulative weighted avg mAP, :295)
+            if cfg.opt.track_best and epoch >= eval_start:
                 self.params = state.params
                 self._adapter_ema = state.adapter_ema
-                score = self.evaluate(j, update_bwf=False)["avg_R1@0.5"]
+                score = self.evaluate(
+                    j, update_bwf=False)[cfg.opt.best_metric]
                 if score > best_score:
                     best_score = score
                     best_params = jax.tree.map(np.asarray, state.params)
-                    log.info("task %d epoch %d: new best R1@0.5=%.4f",
-                             j, epoch, score)
+                    log.info("task %d epoch %d: new best %s=%.4f",
+                             j, epoch, cfg.opt.best_metric, score)
         wall = time.time() - t0
         self.params = state.params
         self._adapter_ema = state.adapter_ema
+        # carry the end-of-training normalizer forward even when an
+        # earlier best epoch is restored (reference semantics: the
+        # normalizer is not state_dict content)
+        self.loss_normalizer = float(
+            jax.device_get(state.loss_normalizer).reshape(-1)[0])
         if best_params is not None:
-            final_score = self.evaluate(j, update_bwf=False)["avg_R1@0.5"]
-            if best_score > final_score:
-                # restore the best epoch (load_best_checkpoint,
-                # MQ/train_cl.py:363)
-                self.params = jax.tree.map(jnp.asarray, best_params)
-                log.info("task %d: restored best epoch (%.4f > %.4f)",
-                         j, best_score, final_score)
+            # ALWAYS restore the tracked best — the reference reloads
+            # best_task_XXX.pth.tar unconditionally before final_validate
+            # (load_best_checkpoint, MQ/train_cl.py:363), so on ties the
+            # EARLIER epoch's weights win
+            self.params = jax.tree.map(jnp.asarray, best_params)
+            log.info("task %d: restored best epoch (%s=%.4f)",
+                     j, cfg.opt.best_metric, best_score)
 
         if self.bic is not None and heldout:
             self._bic_stage2(j, heldout, class_mask, state.loss_normalizer)
@@ -687,8 +752,12 @@ class EpisodeRunner:
                     )
                 pred_ret[vid] = by_class
             rec_matrix = moment_retrieval_recall(gt_ret, pred_ret)
-            n_queries = len(self.stream.val_tasks[task_key]["label_dict"])
-            weights[i] = n_queries
+            # the reference weights per-loader averages by the CUMULATIVE
+            # class count through loader i (get_valSet_by_taskNum
+            # accumulates eval_data before list_num_classes.append,
+            # cl_benchmark.py:103-108; AverageMeter.update(val,
+            # num_queries) in valid/final_validate)
+            weights[i] = len(self.stream.classes_upto(i))
             per_task_map[i] = avg_map
             per_task_r1[i] = float(rec_matrix[4, 0])  # R@1 tIoU 0.5
             per_task.append({
@@ -778,20 +847,34 @@ class EpisodeRunner:
                     os.path.join(self.workdir, cfg.cl_cfg.path_memory)
                 )
 
+            if j < self.stream.num_tasks - 1:
+                # the reference's augment_classification point
+                # (train_cl.py:378): the next task's head rows become a
+                # fresh init HERE — before EWC/MAS importance estimation,
+                # so the Fisher/optpar snapshots see the grown fresh rows
+                self._reset_unseen_classes(j + 1)
+
             if self.method in ("ewc", "mas") and j < self.stream.num_tasks - 1:
                 grad_step = make_grad_step(
                     self.model, self.points, cfg, self.method
                 )
                 loader = train_stats.pop("loader")
                 loader.set_epoch(0)
-                cl = CLBatchExtras(class_mask=self._class_mask(j))
+                # the reference estimates importance AFTER
+                # augment_classification (train_cl.py:378-385), so its
+                # loss at estimation time spans the NEXT task's freshly
+                # grown classes too (their logits count as focal-loss
+                # negatives and pick up Fisher mass) — mirror with the
+                # classes-through-(j+1) mask
+                cl = CLBatchExtras(class_mask=self._class_mask(j + 1))
                 batches = (self._to_device(b) for b, _ in loader)
-                imp = estimate_importance(
+                imp, optpar, new_norm = estimate_importance(
                     grad_step, self.params, batches, cl,
-                    jnp.asarray(cfg.train_cfg.init_loss_norm),
+                    jnp.asarray(self.loss_normalizer, jnp.float32),
                     mode=self.method,
                 )
-                self.reg_list.append(imp)
+                self.loss_normalizer = float(np.asarray(new_norm))
+                self.reg_list.append((imp, optpar))
             else:
                 train_stats.pop("loader", None)
 

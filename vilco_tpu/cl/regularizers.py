@@ -55,8 +55,15 @@ def estimate_importance(
     cl_extras,
     loss_norm,
     mode: str = "ewc",
-) -> Tuple[Any, Any]:
-    """Returns (importance, optpar) pytrees for the finished task."""
+) -> Tuple[Any, Any, Any]:
+    """Returns (importance, optpar, loss_norm) for the finished task.
+
+    The final loss_norm matters to the episode composition: the
+    reference's on_task_update forwards run with is_training semantics,
+    so the model's loss-normalizer EMA keeps advancing during estimation
+    and the NEXT task trains from that advanced value (EWC.py:37-41 with
+    meta_archs.py:1454-1458; the normalizer is a plain attribute, not
+    state_dict content, so even best-checkpoint reloads keep it)."""
     # the reference zeroes grads before every backward (EWC.py:38), so
     # only the LAST batch's gradient survives its loop; the loss
     # normalizer EMA still advances on every forward, so each batch runs
@@ -72,7 +79,7 @@ def estimate_importance(
     else:  # mas
         imp = jax.tree.map(lambda g: np.asarray(jnp.abs(g)), acc)
     optpar = jax.tree.map(np.asarray, params)
-    return imp, optpar
+    return imp, optpar, loss_norm
 
 
 def stack_reg_tasks(reg_list):

@@ -52,6 +52,17 @@ def _encode(obj, arrays: List[np.ndarray]):
         return {"__t": "dict",
                 "v": [[_encode(k, arrays), _encode(v, arrays)]
                       for k, v in obj.items()]}
+    # torch tensors ride along in the reference's split-pkl video dicts
+    # (scripts/split_mq.py keeps per-clip segmentation_labels as torch
+    # tensors) and land here via the rehearsal-memory save — store as
+    # plain arrays (loads back as np; our pipeline consumes either)
+    if type(obj).__name__ == "Tensor" and hasattr(obj, "detach"):
+        a, exotic = _np_safe(np.asarray(obj.detach().cpu()))
+        arrays.append(a)
+        node = {"__t": "arr", "i": len(arrays) - 1}
+        if exotic:
+            node["dt"] = exotic
+        return node
     raise TypeError(
         f"checkpoint: unsupported leaf type {type(obj).__name__}; "
         "convert to arrays / dicts / tuples before saving")

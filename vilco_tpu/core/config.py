@@ -291,11 +291,22 @@ class OptCfg(_Base):
     schedule_steps: Tuple[int, ...] = ()
     schedule_gamma: float = 0.1
     eta_min: float = 1e-8
+    # cap on the per-task epoch count; 0 means the reference default
+    # max_epochs = epochs + warmup_epochs (MQ/train_cl.py:200-203 —
+    # cfg['opt'].get('early_stop_epochs', epochs + warmup_epochs))
+    early_stop_epochs: int = 0
     # per-task best-checkpoint selection: evaluate every epoch once
-    # epoch >= epochs * eval_start_ratio and restore the best before the
-    # final per-task validation (MQ/train_cl.py:283-315, 363)
+    # epoch >= total_epochs * eval_start_ratio (the reference's
+    # max_epochs // 3 gate, MQ/train_cl.py:284) and ALWAYS restore the
+    # first-best epoch before final validation (the reference reloads
+    # best_task_XXX.pth.tar unconditionally, :363)
     track_best: bool = False
-    eval_start_ratio: float = 0.33
+    eval_start_ratio: float = 1.0 / 3.0
+    # metric the per-task best checkpoint is selected by — the MQ
+    # reference uses the cumulative weighted avg mAP (total_mAP,
+    # MQ/train_cl.py:295); the NLQ reference uses mean R@1
+    # (NLQ/train_cl.py:250) — its yaml sets "avg_R1"
+    best_metric: str = "avg_mAP"
     # Adam first-moment dtype. Default bfloat16: halves m-state HBM traffic
     # on the bandwidth-bound step (128.1 -> 129.4 clips/s at batch 16) and
     # is quality-neutral on the synthetic CL ladder (RESULTS.md round 2);
@@ -340,6 +351,17 @@ class OptCfg(_Base):
     # via an in-step lax.scan — effective batch K*B at the device memory
     # of batch B (e.g. effective MQ batch 32 past the 16GB OOM at 32)
     accumulation_steps: int = 1
+
+    @property
+    def total_epochs(self) -> int:
+        """Epochs actually trained per task: the reference's max_epochs =
+        early_stop_epochs or epochs + warmup_epochs
+        (MQ/train_cl.py:200-203; the schedule's cosine span is `epochs`
+        with `warmup_epochs` of warmup prepended, so the loop runs through
+        the full warmup + cosine)."""
+        if self.early_stop_epochs > 0:
+            return self.early_stop_epochs
+        return self.epochs + (self.warmup_epochs if self.warmup else 0)
 
 
 @dataclass(frozen=True)

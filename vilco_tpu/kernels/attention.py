@@ -351,7 +351,7 @@ def _run_fwd_blc(q, k, v, kv_mask, num_heads, interpret):
     B, Tq, C = q.shape
     Tk = k.shape[1]
     D = C // num_heads
-    S = _block_size(Tq)
+    S = _block_size_blc(Tq, B)
     scale = 1.0 / (D ** 0.5)
     mf = kv_mask.astype(jnp.int32)[:, None, :]
     qspec, kspec, mspec = _specs_blc(Tq, Tk, S)
@@ -375,7 +375,7 @@ def _run_bwd_blc(q, k, v, kv_mask, num_heads, g, interpret):
     B, Tq, C = q.shape
     Tk = k.shape[1]
     D = C // num_heads
-    S = _block_size(Tq)
+    S = _block_size_blc(Tq, B)
     scale = 1.0 / (D ** 0.5)
     mf = kv_mask.astype(jnp.int32)[:, None, :]
     qspec, kspec, mspec = _specs_blc(Tq, Tk, S)
@@ -399,6 +399,25 @@ def _run_bwd_blc(q, k, v, kv_mask, num_heads, g, interpret):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+def _block_size_blc(Tq: int, B: int) -> int:
+    """Query-block size for the channels-last kernel.
+
+    Callers with a big fused batch (the VQ ViT folds B*T=120 frames, so
+    the (C/128, B, Tq/S) grid has parallelism to spare) prefer the
+    LARGEST legal block: fewer program prologues and larger dots — HW
+    microbench at the ViT shape (120, 1152, 768): S=384 10.41, S=576
+    9.94, S=1152 9.86 ms/call. Small-batch callers (MQ stems, B=16) keep
+    the 384-first policy — the round-3 measurement showed one-program-
+    per-(b,h) serializes there. The f32 score tile (S, Tq) is capped to
+    ~6 MB of VMEM."""
+    if B >= 32:
+        cap = (6 << 20) // (4 * Tq)
+        for s in (1152, 1024, 768, 576, 512, 384, 256, 128):
+            if s <= cap and Tq % s == 0 and Tq >= s:
+                return s
+    return _block_size(Tq)
+
+
 def _use_kernel_blc(q, k, num_heads) -> bool:
     B, Tq, C = q.shape
     D = C // num_heads
@@ -406,7 +425,8 @@ def _use_kernel_blc(q, k, num_heads) -> bool:
     # {1..128} dividing 128); wider heads would span block boundaries.
     if C % 128 or D > 128 or 128 % D:
         return False
-    return Tq >= 128 and k.shape[1] >= 128 and Tq % _block_size(Tq) == 0
+    return (Tq >= 128 and k.shape[1] >= 128
+            and Tq % _block_size_blc(Tq, B) == 0)
 
 
 def _blc_xla(q, k, v, kv_mask, num_heads):
