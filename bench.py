@@ -67,12 +67,20 @@ def _mfu_detail(make_lowered, step_ms, dispatch_steps=1):
     Pre-optimization HLO: flop counts are exact; "bytes accessed" is an
     upper bound (fusion removes intermediate traffic) — the measured
     roofline tables in RESULTS.md remain the bandwidth ground truth.
+
+    The twin is lowered FOR THE CPU BACKEND (abstract ShapeDtypeStruct
+    args + default_device(cpu)): pre-compile `cost_analysis()` returns
+    None for the axon/TPU plugin, while the CPU lowering carries the
+    analytical HLO cost model — flop counts are backend-independent.
     """
     import jax
 
     try:
         ca = make_lowered().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
+        if ca is None:
+            raise ValueError("cost_analysis() returned None "
+                             "(non-CPU lowering?)")
         fl = float(ca.get("flops", float("nan"))) / dispatch_steps
         by = float(ca.get("bytes accessed", float("nan"))) / dispatch_steps
         out = {
@@ -296,7 +304,11 @@ def bench_vq(args):
 
     def _lower_twin():
         ana_step = make_vq_train_step(init_twin, tx, accumulation_steps=A)
-        return ana_step.lower(state, batches[0])
+        sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (state, batches[0]))
+        with jax.default_device(jax.devices("cpu")[0]):
+            return ana_step.lower(*sds)
 
     return {
         "metric": "vq_flagship_train_throughput",
@@ -587,7 +599,11 @@ def run_one(args):
                                    accumulation_steps=A)
         b = (batches[0] if K == 1
              else jax.tree.map(lambda x: x[0], batches[0]))
-        return ana_step.lower(state, b, cl)
+        sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (state, b, cl))
+        with jax.default_device(jax.devices("cpu")[0]):
+            return ana_step.lower(*sds)
 
     return {
         "metric": f"{args.model}_flagship_train_throughput",

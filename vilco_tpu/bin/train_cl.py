@@ -27,6 +27,12 @@ def main(argv=None):
                    help="synthetic features + synthetic task split (smoke)")
     p.add_argument("--method", default=None,
                    help="override cl_cfg.name (naive|ewc|mas|icarl|bic|l2p|vilco)")
+    p.add_argument("--reg-lambda", type=float, default=None,
+                   help="override cl_cfg.reg_lambda (EWC/MAS penalty weight; "
+                        "the reference's ewc/mas configs use 3000, e.g. "
+                        "MQ/configs/mq_ewc_all_larger.yaml:66 — the synthetic "
+                        "tiny config defaults to 0, which makes the penalty "
+                        "a no-op)")
     p.add_argument("--task", default=None,
                    help="mq | nlq | vq (default from config)")
     p.add_argument("--num-tasks", type=int, default=None)
@@ -219,6 +225,9 @@ def main(argv=None):
             cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(
                 memory_size=2 * cfg.dataset.num_classes
             ))
+    if args.reg_lambda is not None:
+        cfg = cfg.updated(
+            cl_cfg=cfg.cl_cfg.updated(reg_lambda=args.reg_lambda))
     if args.accum_steps:
         cfg = cfg.updated(
             opt=cfg.opt.updated(accumulation_steps=args.accum_steps))
@@ -293,6 +302,8 @@ def main(argv=None):
             vq_kw["accumulation_steps"] = args.accum_steps
         if args.batch_size:
             vq_kw["batch_size"] = args.batch_size
+        if args.reg_lambda is not None:
+            vq_kw["reg_lambda"] = args.reg_lambda
 
         if args.vq_annotations:
             from vilco_tpu.data.vq_frames import (

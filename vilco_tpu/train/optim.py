@@ -187,6 +187,76 @@ def make_optimizer(cfg: OptCfg, params, steps_per_epoch: int):
     return tx, sched
 
 
+class PackedAdamState:
+    """Adam moment state with SMALL leaves packed into flat buffers.
+
+    The flagship MQ tree is 388 leaves of which 300 are tiny (biases, norm
+    scales, per-class Gaussians — 1.6 MB of the 202M-param total). Per-leaf
+    moment storage makes the optimizer step dispatch-bound: the round-4
+    profile shows ~367 bf16 state in/out convert kernels at 4.2 ms/step
+    whose total bytes would move in ~0.2 ms at HBM speed (RESULTS.md).
+    Packing the small leaves' mu/nu into two persistent flat buffers turns
+    ~3N tiny kernels into ~N+3 (two concats + one fused update + the
+    per-leaf new-param slices).
+
+    Pytree children: (count, big mu leaves, big nu leaves, mu_flat,
+    nu_flat); static aux carries the params treedef + per-leaf
+    (small, shape, offset) so `.mu`/`.nu` can reconstruct the canonical
+    per-leaf trees on demand (tests and the delegating `update()` path use
+    them; the hot `fused_apply` path never does). The optimizer state is
+    NOT checkpointed across CL tasks (the reference builds a fresh
+    optimizer per task, MQ/train_cl.py:388), so the layout is internal.
+    """
+
+    __slots__ = ("count", "mu_big", "nu_big", "mu_flat", "nu_flat", "meta")
+
+    def __init__(self, count, mu_big, nu_big, mu_flat, nu_flat, meta):
+        self.count = count
+        self.mu_big = tuple(mu_big)
+        self.nu_big = tuple(nu_big)
+        self.mu_flat = mu_flat
+        self.nu_flat = nu_flat
+        # meta: (treedef, tuple of (is_small, shape, offset) per leaf)
+        self.meta = meta
+
+    def _unpack(self, big, flat):
+        treedef, leaf_meta = self.meta
+        out, bi = [], 0
+        for small, shape, off in leaf_meta:
+            if small:
+                n = 1
+                for d in shape:
+                    n *= d
+                out.append(flat[off:off + n].reshape(shape))
+            else:
+                out.append(big[bi])
+                bi += 1
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    @property
+    def mu(self):
+        return self._unpack(self.mu_big, self.mu_flat)
+
+    @property
+    def nu(self):
+        return self._unpack(self.nu_big, self.nu_flat)
+
+    def tree_flatten(self):
+        return ((self.count, self.mu_big, self.nu_big,
+                 self.mu_flat, self.nu_flat), self.meta)
+
+
+jax.tree_util.register_pytree_node(
+    PackedAdamState,
+    PackedAdamState.tree_flatten,
+    lambda aux, ch: PackedAdamState(*ch, aux),
+)
+
+# leaves below this element count are packed (the flagship gap is wide:
+# 300 leaves < 2^14 elements, then nothing until 2^18 — see RESULTS.md)
+_SMALL_LEAF_ELEMS = 1 << 18
+
+
 class FusedAdamW:
     """AdamW whose whole update (moments + bias correction + weight decay
     + lr + param apply) runs as ONE tree_map producing (p', mu', nu')
@@ -195,10 +265,15 @@ class FusedAdamW:
     at 202M params); this removes it with bit-equivalent math
     (parity-tested against the optax chain in tests).
 
+    Small leaves are additionally PACKED (see PackedAdamState): their
+    moments live in flat buffers and their update runs as one fused
+    kernel over the concatenation — elementwise identical math, ~600
+    fewer tiny kernels per step on the flagship tree.
+
     Exposes the optax interface (init/update) by delegating to an internal
     reference chain, plus `fused_apply(grads, state, params) ->
-    (new_params, new_state)` for the hot path. State pytree is identical
-    to the optax chain's, so checkpoints interchange.
+    (new_params, new_state)` for the hot path. `state[0].mu/.nu/.count`
+    read as the canonical optax layout via properties.
     """
 
     B1, B2, EPS = 0.9, 0.999, 1e-8
@@ -218,31 +293,91 @@ class FusedAdamW:
             optax.add_decayed_weights(cfg.weight_decay, mask=self.mask),
             optax.scale_by_learning_rate(sched),
         )
+        # small-leaf packing layout (see PackedAdamState)
+        import numpy as np
+
+        flat_pp, treedef = jax.tree_util.tree_flatten_with_path(params)
+        self._treedef = treedef
+        flat_d = treedef.flatten_up_to(self.mask)
+        leaf_meta, decay_np, off = [], [], 0
+        for (_, leaf), d in zip(flat_pp, flat_d):
+            small = leaf.size < _SMALL_LEAF_ELEMS
+            leaf_meta.append((small, tuple(leaf.shape),
+                              off if small else -1))
+            if small:
+                decay_np.append(
+                    np.full(leaf.size, float(bool(d)), np.float32))
+                off += leaf.size
+        self._leaf_meta = tuple(leaf_meta)
+        self._n_small = off
+        self._decay_np = (np.concatenate(decay_np) if decay_np
+                          else np.zeros((0,), np.float32))
+        self._meta = (treedef, self._leaf_meta)
+
+    def _pack_adam(self, adam_s):
+        flat_mu = self._treedef.flatten_up_to(adam_s.mu)
+        flat_nu = self._treedef.flatten_up_to(adam_s.nu)
+        mu_big = [l for l, (s, _, _) in zip(flat_mu, self._leaf_meta)
+                  if not s]
+        nu_big = [l for l, (s, _, _) in zip(flat_nu, self._leaf_meta)
+                  if not s]
+        mu_sm = [l.ravel() for l, (s, _, _) in
+                 zip(flat_mu, self._leaf_meta) if s]
+        nu_sm = [l.ravel() for l, (s, _, _) in
+                 zip(flat_nu, self._leaf_meta) if s]
+        mu_dt = self.mu_dtype or jnp.float32
+        nu_dt = self.nu_dtype or jnp.float32
+        mu_flat = (jnp.concatenate(mu_sm).astype(mu_dt) if mu_sm
+                   else jnp.zeros((0,), mu_dt))
+        nu_flat = (jnp.concatenate(nu_sm).astype(nu_dt) if nu_sm
+                   else jnp.zeros((0,), nu_dt))
+        return PackedAdamState(adam_s.count, mu_big, nu_big,
+                               mu_flat, nu_flat, self._meta)
 
     def init(self, params):
         state = self._chain.init(params)
+        adam_s = state[0]
         if self.nu_dtype is not None:
-            adam_s = state[0]._replace(
+            adam_s = adam_s._replace(
                 nu=jax.tree_util.tree_map(
-                    lambda v: v.astype(self.nu_dtype), state[0].nu
+                    lambda v: v.astype(self.nu_dtype), adam_s.nu
                 )
             )
-            state = (adam_s,) + tuple(state[1:])
-        return state
+        return (self._pack_adam(adam_s),) + tuple(state[1:])
 
     def update(self, grads, state, params=None):
+        """Delegating (non-hot) path: unpack to the canonical optax layout,
+        run the reference chain, repack. Kept for API/parity tests; the
+        engine's train step uses fused_apply."""
+        adam_s = state[0]
+        if isinstance(adam_s, PackedAdamState):
+            canon = adam_s
+            adam_s = self._canon_template(canon)
+            state = (adam_s,) + tuple(state[1:])
         updates, new_state = self._chain.update(grads, state, params)
+        adam_new = new_state[0]
         if self.nu_dtype is not None:
             # scale_by_adam has no nu dtype control: its EMA promotes the
             # bf16 state against f32 grads and returns f32 nu — cast back
             # so the state pytree keeps the dtype tx.init established
-            adam_s = new_state[0]._replace(
+            adam_new = adam_new._replace(
                 nu=jax.tree_util.tree_map(
-                    lambda v: v.astype(self.nu_dtype), new_state[0].nu
+                    lambda v: v.astype(self.nu_dtype), adam_new.nu
                 )
             )
-            new_state = (adam_s,) + tuple(new_state[1:])
-        return updates, new_state
+        return updates, ((self._pack_adam(adam_new),)
+                         + tuple(new_state[1:]))
+
+    def _canon_template(self, packed):
+        """PackedAdamState -> optax ScaleByAdamState (same class as the
+        chain produces, via its namedtuple type)."""
+        cls = type(self._chain.init(
+            jax.tree_util.tree_unflatten(
+                self._treedef,
+                [jnp.zeros((1,), jnp.float32)] * self._treedef.num_leaves,
+            )
+        )[0])
+        return cls(count=packed.count, mu=packed.mu, nu=packed.nu)
 
     def fused_apply(self, grads, state, params):
         new_p, _, new_state = self._fused(grads, state, params,
@@ -262,6 +397,10 @@ class FusedAdamW:
 
     def _fused(self, grads, state, params, with_pc: bool):
         adam_s, masked_s, sched_s = state
+        if not isinstance(adam_s, PackedAdamState):
+            # canonical optax state handed in (e.g. a test built it via
+            # the chain directly) — pack once, proceed
+            adam_s = self._pack_adam(adam_s)
         count_inc = adam_s.count + 1
         bc1 = 1.0 - self.B1 ** count_inc.astype(jnp.float32)
         bc2 = 1.0 - self.B2 ** count_inc.astype(jnp.float32)
@@ -278,8 +417,13 @@ class FusedAdamW:
             u = (m2 / bc1.astype(m2.dtype)) / (
                 jnp.sqrt(v2 / bc2.astype(v2.dtype)) + self.EPS
             )
-            if decay:
-                u = u + self.wd * p
+            if isinstance(decay, bool):
+                if decay:
+                    u = u + self.wd * p
+            else:
+                # flat-packed segment: decay is a {0,1} vector — exact
+                # elementwise match of the boolean branch (u + 0 == u)
+                u = u + (self.wd * decay) * p
             p2 = p - lr * u
             if self.mu_dtype is not None:
                 m2 = m2.astype(self.mu_dtype)
@@ -291,22 +435,51 @@ class FusedAdamW:
         paths = [p for p, _ in flat_pp]
         flat_p = [l for _, l in flat_pp]
         flat_g = treedef.flatten_up_to(grads)
-        flat_m = treedef.flatten_up_to(adam_s.mu)
-        flat_v = treedef.flatten_up_to(adam_s.nu)
         flat_d = treedef.flatten_up_to(self.mask)
         flat_c = (treedef.flatten_up_to(self.pc_mask) if with_pc
                   else [False] * len(flat_p))
-        out = [upd(p, g, m, v, d) for p, g, m, v, d in
-               zip(flat_p, flat_g, flat_m, flat_v, flat_d)]
-        new_p = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
-        new_m = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
-        new_v = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])
+        small = [s for s, _, _ in self._leaf_meta]
+
+        # --- big leaves: one fused update kernel each (bandwidth-bound)
+        big_iter_m = iter(adam_s.mu_big)
+        big_iter_v = iter(adam_s.nu_big)
+        out_p = [None] * len(flat_p)
+        new_mu_big, new_nu_big = [], []
+        for i, (p, g, d, s) in enumerate(
+                zip(flat_p, flat_g, flat_d, small)):
+            if s:
+                continue
+            p2, m2, v2 = upd(p, g, next(big_iter_m),
+                             next(big_iter_v), bool(d))
+            out_p[i] = p2
+            new_mu_big.append(m2)
+            new_nu_big.append(v2)
+
+        # --- small leaves: one fused update over the packed flats
+        if self._n_small:
+            p_sm = jnp.concatenate(
+                [flat_p[i].ravel() for i, s in enumerate(small) if s])
+            g_sm = jnp.concatenate(
+                [flat_g[i].ravel().astype(jnp.float32)
+                 for i, s in enumerate(small) if s])
+            dvec = jnp.asarray(self._decay_np)
+            p2f, m2f, v2f = upd(p_sm, g_sm, adam_s.mu_flat,
+                                adam_s.nu_flat, dvec)
+            for i, (s, shape, off) in enumerate(self._leaf_meta):
+                if s:
+                    n = flat_p[i].size
+                    out_p[i] = p2f[off:off + n].reshape(shape)
+        else:
+            m2f, v2f = adam_s.mu_flat, adam_s.nu_flat
+
+        new_p = jax.tree_util.tree_unflatten(treedef, out_p)
         new_pc = ({
-            _path_key(path): o[0].astype(jnp.bfloat16)
-            for path, o, c in zip(paths, out, flat_c) if c
+            _path_key(path): o.astype(jnp.bfloat16)
+            for path, o, c in zip(paths, out_p, flat_c) if c
         } if with_pc else None)
         new_state = (
-            adam_s._replace(count=count_inc, mu=new_m, nu=new_v),
+            PackedAdamState(count_inc, new_mu_big, new_nu_big,
+                            m2f, v2f, self._meta),
             masked_s,
             sched_s._replace(count=sched_s.count + 1),
         )
