@@ -290,3 +290,80 @@ def test_frame_band_matches_encoder_layer_mask():
     ref = jnp.einsum("bhqk,bkhd->bqhd", a, split(v)).reshape(1, L, C)
     out = fb.frame_band_attention(q, k, v, H, fr, w, 16, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("decay,mu_dt,nu_dt", [
+    (True, "bfloat16", "bfloat16"),
+    (False, "bfloat16", "float32"),
+    (True, "float32", "float32"),
+])
+def test_pallas_adamw_leaf_matches_jnp(rng, decay, mu_dt, nu_dt):
+    """kernels/adamw.py == FusedAdamW's jnp update expression bit-for-bit
+    (same weak-typed b1*m rounding, same cast points), across state
+    dtypes and the decay branch."""
+    from vilco_tpu.kernels.adamw import adamw_update_leaf
+
+    B1, B2, EPS, WD = 0.9, 0.999, 1e-8, 0.05
+    mu = jnp.dtype(mu_dt)
+    nu = jnp.dtype(nu_dt)
+    n = 8 * 128 * 3                      # tiles to (24, 128)
+    p = jnp.asarray(rng.standard_normal(n), jnp.float32).reshape(8, 128, 3)
+    g = jnp.asarray(rng.standard_normal(n), jnp.float32).reshape(8, 128, 3)
+    m = (jnp.asarray(rng.standard_normal(n), jnp.float32)
+         .reshape(8, 128, 3).astype(mu))
+    v = (jnp.abs(jnp.asarray(rng.standard_normal(n), jnp.float32))
+         .reshape(8, 128, 3).astype(nu))
+    lr = jnp.asarray(1e-3, jnp.float32)
+    bc1 = jnp.asarray(1.0 - B1 ** 3, jnp.float32)
+    bc2 = jnp.asarray(1.0 - B2 ** 3, jnp.float32)
+
+    # the jnp path's exact expression (optim.FusedAdamW._fused::upd)
+    g32 = g.astype(jnp.float32)
+    m2 = (1.0 - B1) * g32 + B1 * m
+    v2 = (1.0 - B2) * (g32 * g32) + B2 * v.astype(jnp.float32)
+    u = (m2 / bc1.astype(m2.dtype)) / (
+        jnp.sqrt(v2 / bc2.astype(v2.dtype)) + EPS)
+    if decay:
+        u = u + WD * p
+    want_p = p - lr * u
+    want_m = m2.astype(mu)
+    want_v = v2.astype(nu)
+
+    got = adamw_update_leaf(
+        p, g, m, v, decay=decay, wd=WD, lr=lr, bc1=bc1, bc2=bc2,
+        b1=B1, b2=B2, eps=EPS, mu_dtype=mu, nu_dtype=nu, interpret=True,
+    )
+    assert got is not None
+    # not array_equal: the kernel compiles as ONE fused computation, where
+    # XLA contracts mul+add to FMA (and may skip the bf16 m-term's
+    # intermediate rounding), vs the eagerly-dispatched reference ops —
+    # f32-ulp noise for f32 state, bf16-ulp for bf16 state (measured
+    # maxdiff 3.7e-9 / 1.2e-5)
+    bf16_state = "bfloat16" in (mu_dt, nu_dt)
+    for a, b, nm in zip(got, (want_p, want_m, want_v), "pmv"):
+        assert a.dtype == b.dtype, nm
+        an = np.asarray(a.astype(jnp.float32))
+        bn = np.asarray(b.astype(jnp.float32))
+        if a.dtype == jnp.bfloat16:
+            # 1 bf16 ulp at the tensor's scale: the two computations can
+            # round the same f32 value to adjacent bf16 lattice points
+            atol = float(np.abs(bn).max()) * 2.0 ** -7
+            np.testing.assert_allclose(an, bn, rtol=0, atol=atol,
+                                       err_msg=nm)
+        else:
+            rtol, atol = (2e-3, 2e-5) if bf16_state else (1e-6, 1e-8)
+            np.testing.assert_allclose(an, bn, rtol=rtol, atol=atol,
+                                       err_msg=nm)
+
+
+def test_pallas_adamw_leaf_fallback_on_odd_shape():
+    from vilco_tpu.kernels.adamw import adamw_update_leaf
+
+    p = jnp.zeros((37,), jnp.float32)
+    out = adamw_update_leaf(
+        p, p, p, p, decay=False, wd=0.0, lr=1e-3,
+        bc1=jnp.float32(0.1), bc2=jnp.float32(0.01),
+        b1=0.9, b2=0.999, eps=1e-8,
+        mu_dtype=jnp.float32, nu_dtype=jnp.float32, interpret=True,
+    )
+    assert out is None

@@ -21,6 +21,12 @@ Prints one JSON line per variant: {variant, ms_per_call, max_rel_err}.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax_tpu")
+
 import functools
 import json
 import time
@@ -112,11 +118,13 @@ def run_variant(q, k, v, kv_mask, *, bound_shift, mxu_sum):
 
 
 def xla_ref(q, k, v, kv_mask):
-    r = lambda x: x.reshape(B, L, H, D).astype(jnp.float32)
+    # 2 batch rows only: the full-B f32 score tensor is 7.6 GB
+    b = 2
+    r = lambda x: x[:b].reshape(b, L, H, D).astype(jnp.float32)
     s = jnp.einsum("blhd,bmhd->bhlm", r(q) / (D ** 0.5), r(k))
-    s = jnp.where(kv_mask[:, None, None, :], s, -1e30)
+    s = jnp.where(kv_mask[:b, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhlm,bmhd->blhd", p, r(v)).reshape(B, L, C)
+    return jnp.einsum("bhlm,bmhd->blhd", p, r(v)).reshape(b, L, C)
 
 
 def main():
@@ -147,7 +155,7 @@ def main():
                                        bound_shift=True, mxu_sum=True)),
     ]
     jit_ref = jax.jit(xla_ref)
-    ref = np.asarray(jit_ref(q, k, v, kv_mask))[:2, :VALID]
+    ref = np.asarray(jit_ref(q, k, v, kv_mask))[:, :VALID]
     for name, fn in variants:
         jfn = jax.jit(fn)
         ms, out = timeit(jfn)

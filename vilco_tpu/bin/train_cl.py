@@ -218,6 +218,11 @@ def main(argv=None):
         ))
     elif args.method:
         cfg = cfg.updated(cl_cfg=cfg.cl_cfg.updated(name=args.method))
+        if args.method == "l2p" and not cfg.cl_cfg.prompt_pool:
+            # L2P IS the prompt pool (reference cl_methods/prompt.py wired
+            # via cl_cfg.prompt_pool) — method name alone would be naive
+            cfg = cfg.updated(
+                cl_cfg=cfg.cl_cfg.updated(prompt_pool=True))
         if args.method in ("icarl", "bic") and cfg.cl_cfg.memory_size == 0:
             # rehearsal-based methods are meaningless without exemplars
             # (distillation and BiC stage-2 are gated on known classes) —
@@ -426,10 +431,27 @@ def main(argv=None):
                                   narration_source=nar)
     else:
         if args.synthetic:
+            if cfg.cl_cfg.prompt_pool and not cfg.dataset.use_text:
+                # L2P prompts prepend to TEXT tokens (meta_archs.py:759-780)
+                # — without a text stream the pool is dead code. Give the
+                # synthetic episode the reference's text plumbing: per-clip
+                # class-conditional prompt features + cross-modal fusion.
+                cfg = cfg.updated(
+                    dataset=cfg.dataset.updated(use_text=True),
+                    model=cfg.model.updated(
+                        use_cross_modal=True,
+                        n_txt_in=cfg.model.n_txt_in or 16),
+                ).derived()   # re-derive: cl_cfg.embed_dim <- n_txt_in
             rng = np.random.default_rng(cfg.init_rand_seed)
             train_tasks, val_tasks = make_synthetic_cl_split(rng, cfg)
             stream = TaskStream(train_tasks, val_tasks)
             src = SyntheticFeatureSource(cfg.dataset.input_dim)
+            text_src = None
+            if cfg.dataset.use_text:
+                from vilco_tpu.data.pipeline import SyntheticTextSource
+
+                text_src = SyntheticTextSource(
+                    cfg.model.n_txt_in, cfg.dataset.max_text_len)
             nar = None
             if cfg.cl_cfg.narration_ssl:
                 from vilco_tpu.data.pipeline import SyntheticNarrationSource
@@ -439,6 +461,7 @@ def main(argv=None):
                     cfg.dataset.max_narration_len,
                 )
             runner = EpisodeRunner(cfg, stream, src, workdir=args.workdir,
+                                   text_source=text_src,
                                    narration_source=nar)
         else:
             from vilco_tpu.tasks.mq import build_mq_runner

@@ -118,6 +118,33 @@ class SyntheticFeatureSource:
         return feats
 
 
+class SyntheticTextSource:
+    """Deterministic per-video text-token features — stands in for the
+    per-clip CLIP prompt features the reference loads (ego4d.py
+    `prompt_feature`): one token per GT class in the clip (class-seeded,
+    so the same class yields the same token across videos) plus a
+    video-seeded context token. Lets the L2P prompt-pool/cross-modal path
+    run end-to-end in synthetic episodes."""
+
+    def __init__(self, text_dim: int, max_len: int = 8):
+        self.dim = text_dim
+        self.max_len = max_len
+
+    def __call__(self, video: dict):
+        toks = []
+        for label in list(video.get("labels", []))[: self.max_len - 1]:
+            seed = int(hashlib.md5(
+                f"txtcls{int(label)}".encode()
+            ).hexdigest()[:8], 16)
+            toks.append(np.random.default_rng(seed)
+                        .standard_normal(self.dim))
+        seed = int(hashlib.md5(
+            ("txt" + video["id"]).encode()
+        ).hexdigest()[:8], 16)
+        toks.append(np.random.default_rng(seed).standard_normal(self.dim))
+        return np.stack(toks).astype(np.float32)
+
+
 class SyntheticNarrationSource:
     """Deterministic per-video narration token features — stands in for the
     CLIP narration-token dumps the reference loads (ego4d.py:793-824) so

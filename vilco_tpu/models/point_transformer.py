@@ -120,6 +120,14 @@ def _concat_levels(feats, masks, gap: int):
         parts_k.append(jnp.ones((B, T), bool))
         slices.append((off, T))
         off += T
+    # pad the concat to a 128-multiple (masked off like the gaps): the
+    # head convs lower to GEMMs with B*T_total rows — an odd row count
+    # (e.g. 8*2021 on the MQ flagship) defeats clean MXU tiling
+    pad = -off % 128
+    if pad:
+        parts_f.append(jnp.zeros((B, pad, C), feats[0].dtype))
+        parts_m.append(jnp.zeros((B, pad), bool))
+        parts_k.append(jnp.zeros((B, pad), bool))
     return (jnp.concatenate(parts_f, axis=1),
             jnp.concatenate(parts_m, axis=1),
             jnp.concatenate(parts_k, axis=1), slices)

@@ -440,7 +440,18 @@ class FusedAdamW:
                   else [False] * len(flat_p))
         small = [s for s, _, _ in self._leaf_meta]
 
-        # --- big leaves: one fused update kernel each (bandwidth-bound)
+        # --- big leaves: one fused update kernel each (bandwidth-bound).
+        # On TPU the update runs as a Pallas kernel so the bf16 state
+        # in/out casts stay in registers — XLA materializes the f32
+        # second-moment EMA twice (rsqrt use + bf16 store) across
+        # separate convert kernels, measured 3.95 ms/step on the
+        # flagship (kernels/adamw.py).
+        from vilco_tpu.kernels.adamw import (
+            adamw_update_leaf,
+            use_pallas_adamw,
+        )
+
+        pallas_ok = use_pallas_adamw()
         big_iter_m = iter(adam_s.mu_big)
         big_iter_v = iter(adam_s.nu_big)
         out_p = [None] * len(flat_p)
@@ -449,8 +460,19 @@ class FusedAdamW:
                 zip(flat_p, flat_g, flat_d, small)):
             if s:
                 continue
-            p2, m2, v2 = upd(p, g, next(big_iter_m),
-                             next(big_iter_v), bool(d))
+            m, v = next(big_iter_m), next(big_iter_v)
+            out3 = None
+            if pallas_ok:
+                out3 = adamw_update_leaf(
+                    p, g, m, v, decay=bool(d), wd=self.wd,
+                    lr=lr, bc1=bc1, bc2=bc2,
+                    b1=self.B1, b2=self.B2, eps=self.EPS,
+                    mu_dtype=self.mu_dtype or jnp.float32,
+                    nu_dtype=self.nu_dtype or jnp.float32,
+                )
+            if out3 is None:
+                out3 = upd(p, g, m, v, bool(d))
+            p2, m2, v2 = out3
             out_p[i] = p2
             new_mu_big.append(m2)
             new_nu_big.append(v2)
