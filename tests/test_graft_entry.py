@@ -56,11 +56,13 @@ def test_dryrun_always_reexecs(monkeypatch):
     looks like it already has a virtual CPU mesh (the round-2 trap)."""
     calls = []
 
-    def fake_run(argv, env=None, cwd=None):
+    def fake_run(argv, env=None, cwd=None, **kw):
         calls.append((argv, env))
 
         class R:
             returncode = 0
+            stdout = "dryrun ok\n"
+            stderr = ""
 
         return R()
 
@@ -81,9 +83,11 @@ def test_dryrun_always_reexecs(monkeypatch):
 
 
 def test_dryrun_raises_on_child_failure(monkeypatch):
-    def fake_run(argv, env=None, cwd=None):
+    def fake_run(argv, env=None, cwd=None, **kw):
         class R:
             returncode = 3
+            stdout = ""
+            stderr = "boom"
 
         return R()
 
