@@ -595,15 +595,22 @@ def run_one(args):
     step_ms = round(dt / (args.steps * K) * 1e3, 2)
 
     def _lower_twin():
-        ana_step = make_train_step(init_model, tx, points, cfg,
-                                   accumulation_steps=A)
-        b = (batches[0] if K == 1
-             else jax.tree.map(lambda x: x[0], batches[0]))
-        sds = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-            (state, b, cl))
-        with jax.default_device(jax.devices("cpu")[0]):
-            return ana_step.lower(*sds)
+        # the twin lowers for CPU: the TPU-only Pallas AdamW opt-in must
+        # stay off or the CPU lowering rejects the kernel
+        enable = os.environ.pop("VILCO_ENABLE_PALLAS_ADAMW", None)
+        try:
+            ana_step = make_train_step(init_model, tx, points, cfg,
+                                       accumulation_steps=A)
+            b = (batches[0] if K == 1
+                 else jax.tree.map(lambda x: x[0], batches[0]))
+            sds = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (state, b, cl))
+            with jax.default_device(jax.devices("cpu")[0]):
+                return ana_step.lower(*sds)
+        finally:
+            if enable is not None:
+                os.environ["VILCO_ENABLE_PALLAS_ADAMW"] = enable
 
     return {
         "metric": f"{args.model}_flagship_train_throughput",

@@ -146,19 +146,23 @@ def main():
         return (time.perf_counter() - t0) / n * 1e3, out
 
     variants = [
-        ("A_current", lambda: fused_attention_blc(q, k, v, kv_mask, H)),
-        ("B_bound", lambda: run_variant(q, k, v, kv_mask,
+        ("A_current",
+         lambda q_, k_, v_: fused_attention_blc(q_, k_, v_, kv_mask, H)),
+        ("B_bound",
+         lambda q_, k_, v_: run_variant(q_, k_, v_, kv_mask,
                                         bound_shift=True, mxu_sum=False)),
-        ("C_mxusum", lambda: run_variant(q, k, v, kv_mask,
-                                         bound_shift=False, mxu_sum=True)),
-        ("D_both", lambda: run_variant(q, k, v, kv_mask,
-                                       bound_shift=True, mxu_sum=True)),
+        ("C_mxusum",
+         lambda q_, k_, v_: run_variant(q_, k_, v_, kv_mask,
+                                        bound_shift=False, mxu_sum=True)),
+        ("D_both",
+         lambda q_, k_, v_: run_variant(q_, k_, v_, kv_mask,
+                                        bound_shift=True, mxu_sum=True)),
     ]
     jit_ref = jax.jit(xla_ref)
     ref = np.asarray(jit_ref(q, k, v, kv_mask))[:, :VALID]
     for name, fn in variants:
         jfn = jax.jit(fn)
-        ms, out = timeit(jfn)
+        ms, out = timeit(jfn, q, k, v)
         got = np.asarray(out.astype(jnp.float32))[:2, :VALID]
         err = np.max(np.abs(got - ref) / (np.abs(ref) + 1e-3))
         print(json.dumps({"variant": name, "ms_per_call": round(ms, 3),

@@ -113,5 +113,12 @@ def adamw_update_leaf(p, g, m, v, *, decay: bool, wd: float, lr, bc1, bc2,
 
 
 def use_pallas_adamw() -> bool:
+    """OPT-IN (VILCO_ENABLE_PALLAS_ADAMW=1): measured NEGATIVE end-to-end
+    on the MQ flagship — 120.2 vs 117.3 ms/step (batch 16, scan-4) with
+    the kernel on. The 88 per-leaf pallas_calls pipeline worse than XLA's
+    update+convert fusions they replace: the separate convert kernels'
+    HBM traffic overlaps surrounding work, while the monolithic kernels
+    serialize. Kept with parity tests as the measured record
+    (RESULTS.md round 5)."""
     return (jax.default_backend() == "tpu"
-            and not os.environ.get("VILCO_DISABLE_PALLAS_ADAMW"))
+            and bool(os.environ.get("VILCO_ENABLE_PALLAS_ADAMW")))

@@ -120,14 +120,9 @@ def _concat_levels(feats, masks, gap: int):
         parts_k.append(jnp.ones((B, T), bool))
         slices.append((off, T))
         off += T
-    # pad the concat to a 128-multiple (masked off like the gaps): the
-    # head convs lower to GEMMs with B*T_total rows — an odd row count
-    # (e.g. 8*2021 on the MQ flagship) defeats clean MXU tiling
-    pad = -off % 128
-    if pad:
-        parts_f.append(jnp.zeros((B, pad, C), feats[0].dtype))
-        parts_m.append(jnp.zeros((B, pad), bool))
-        parts_k.append(jnp.zeros((B, pad), bool))
+    # NOT padded to a 128-multiple: measured on HW (round 5) — padding
+    # the concat to 2048 rows was within tunnel noise (117.3 vs 116.3
+    # ms/step), i.e. XLA already tiles the odd 8*2021-row head GEMMs fine
     return (jnp.concatenate(parts_f, axis=1),
             jnp.concatenate(parts_m, axis=1),
             jnp.concatenate(parts_k, axis=1), slices)
