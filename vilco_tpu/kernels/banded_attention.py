@@ -54,6 +54,17 @@ NEG_INF = -1e9
 ALIGN = 128
 
 
+def _dkv_fits_vmem(T: int, w: int, D: int) -> bool:
+    """The backward's dk/dv accumulators are full-(padded-T, D) f32
+    blocks revisited across the query grid — measured VMEM-OOM at
+    T=16384, D=96 (span*D*4*2 = 12.7 MB + working blocks > the 16 MB
+    scoped limit; tools/bench_banded_longT.py round 5). Cap the
+    accumulator footprint at 8 MB and fall back to the XLA blocked form
+    beyond it until the dkv pass is re-blocked over kv."""
+    span = T + 2 * ((w + ALIGN - 1) // ALIGN) * ALIGN
+    return span * D * 4 * 2 <= 8 << 20
+
+
 def _pick_block(T: int, w: int, target: int = 256) -> int:
     """Largest BQ <= target with BQ % 128 == 0 and T % BQ == 0; 0 if
     none exists or the window exceeds the aligned halo budget. The 128
@@ -328,7 +339,7 @@ def banded_attention_fused(q, k, v, kv_mask, window: int,
     if window <= 0 or 2 * window + 1 >= T:
         return banded_attention_xla(q, k, v, kv_mask, window)
     bq = block_q or _pick_block(T, window)
-    if bq == 0:
+    if bq == 0 or not _dkv_fits_vmem(T, window, D):
         return banded_attention_xla(q, k, v, kv_mask, window)
     out, _, _ = _forward(q, k, v, kv_mask, window, bq, interpret)
     return out
@@ -337,7 +348,8 @@ def banded_attention_fused(q, k, v, kv_mask, window: int,
 def _fwd(q, k, v, kv_mask, window, block_q, interpret):
     B, T, H, D = q.shape
     bq = block_q or _pick_block(T, window)
-    if window <= 0 or 2 * window + 1 >= T or bq == 0:
+    if (window <= 0 or 2 * window + 1 >= T or bq == 0
+            or not _dkv_fits_vmem(T, window, D)):
         out, vjp = jax.vjp(
             lambda q_, k_, v_: banded_attention_xla(
                 q_, k_, v_, kv_mask, window), q, k, v)

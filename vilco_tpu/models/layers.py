@@ -243,17 +243,20 @@ class MaskedMHCA(nn.Module):
             k = k.reshape(B, Tk, H, D)
             v = v.reshape(B, Tk, H, D)
         if self.window > 0 and Tq == Tk:
-            # fused banded kernel (fwd + flash-style bwd) whenever a
-            # legal query block exists (kernels/banded_attention.py:
-            # _pick_block needs a 128-multiple block dividing T, so only
-            # T%128==0 levels use it — NLQ 2560/1280/640/... but NOT
-            # 320/160/80/40, which fall back to the XLA blocked form); the
-            # blocked form's backward turns the halo gather into a
-            # scatter-add, the top op of the NLQ flagship step (round-4
-            # profile: 4 x 5.1 ms/trace)
+            # Fused banded kernel (fwd + flash-style bwd) when a legal
+            # query block exists (kernels/banded_attention.py: _pick_block
+            # needs a 128-multiple block dividing T) AND the sequence is
+            # long enough to win: the round-5 HW crossover sweep
+            # (tools/bench_banded_longT.py, B=4 H=4 D=96 fwd+bwd) measured
+            # fused/XLA at 0.80x for T=2560 but 1.23-1.40x for T=8192
+            # (end-to-end neutral at the NLQ flagship's 2560 either way,
+            # round-4 A/B) — so the fused form engages at T >= 8192 and
+            # the XLA blocked form serves the shipped configs. The fused
+            # bwd's full-T dkv accumulator VMEM-OOMs at T=16384 with
+            # B*H=16; RESULTS.md round 5.
             import os as _os
-            if self.use_fused and not _os.environ.get(
-                    "VILCO_DISABLE_FUSED_BANDED"):
+            if (self.use_fused and Tq >= 8192
+                    and not _os.environ.get("VILCO_DISABLE_FUSED_BANDED")):
                 from vilco_tpu.kernels.banded_attention import (
                     banded_attention_fused,
                 )
