@@ -120,8 +120,12 @@ def test_importance_lockstep(ref, rng, tmp_path, monkeypatch, mode):
     ref_opt = load_torch_point_transformer(
         {k: np.asarray(v) for k, v in optpar_sd.items()}, cfg.model, tmpl)
     _leafcmp(optpar, ref_opt, 1e-6, 1e-6, f"{mode} optpar")
-    # grads match ~1e-6 abs; squared/abs'd importance keeps that scale
-    _leafcmp(imp, ref_imp, 5e-6, 5e-3, f"{mode} importance")
+    # grads usually match ~1e-6 abs, but the XLA:CPU AOT cache makes the
+    # rounding run-order-dependent (cached executables compiled under
+    # different machine-feature sets reload with e.g. prefer-no-scatter
+    # dropped): the full-suite run has shown single elements of |grad|
+    # off by ~2e-5 where the isolated run matches — hence atol 5e-5
+    _leafcmp(imp, ref_imp, 5e-5, 5e-3, f"{mode} importance")
 
     # ---- penalty lockstep on perturbed params
     with torch.no_grad():
