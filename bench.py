@@ -7,14 +7,14 @@ Measures the jitted train step of the flagship MQ point-transformer
 (embd 1024, T=1024, arch (2,2,9), 110 classes, XL stage — mirroring
 configs/mq_vilco.yaml) on synthetic feature batches. Defaults: batch 16,
 4 lax.scan-fused steps per dispatch, fused XL + fused full-attention
-Pallas kernels + single-pass fused AdamW — 128.1 clips/s/chip measured
-on one v5e (124.9 ms/step; batch 8 measures 118.5 at 67.5 ms/step; the
-best measured config adds `--factored --mu-bf16` for 130.3). The
-reference's batch-2 setting: `--batch 2 --scan-steps 1`. `--model nlq`
-benches the dual-tower NLQ flagship (232.6 clips/s/chip at the batch-8
-default); `--model vq` the
-frozen-ViT tracker (9.55 samples/s); `--eval` the batched inference+NMS
-path (165 clips/s).
+(BLC) + fused dwconv-qkv Pallas kernels + single-pass packed-state fused
+AdamW — 137.8 clips/s/chip measured on one v5e (116.1 ms/step, round 5).
+The reference's batch-2 setting: `--batch 2 --scan-steps 1`. `--model
+nlq` benches the dual-tower NLQ flagship (249.5 clips/s/chip at the
+batch-8 default); `--model vq` the frozen-ViT tracker (14.76 samples/s,
+270.9 ms/step); `--model vq --eval` the sliding-window inference path
+(501 frames/s/chip); `--eval` (mq) the batched inference+NMS path
+(165 clips/s).
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
 constant below is an estimate of the reference PyTorch pipeline's training
