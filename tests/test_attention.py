@@ -183,3 +183,23 @@ def test_xl_rel_attention_matches_bruteforce(rng):
          + p["ln_ff"]["bias"])
     f = f * mask[0][:, None]
     np.testing.assert_allclose(np.asarray(out)[0], f, atol=2e-3, rtol=1e-2)
+
+
+def test_banded_fused_gate_policy():
+    """Round-5 policy knobs: _pick_block legality and the dkv VMEM guard
+    that bounds the fused backward's full-T accumulators (measured OOM at
+    T=16384, D=96 — RESULTS.md round 5)."""
+    from vilco_tpu.kernels.banded_attention import (
+        _dkv_fits_vmem,
+        _pick_block,
+    )
+
+    # legal blocks: 128-multiples dividing T
+    assert _pick_block(2560, 4) == 256
+    assert _pick_block(640, 4) == 128
+    assert _pick_block(320, 4) == 0          # no 128-multiple divides 320
+    assert _pick_block(2560, 65) == 0        # 2w > 128 halo budget
+    # VMEM guard: shipped shapes fit, the measured-OOM shape does not
+    assert _dkv_fits_vmem(2560, 4, 96)
+    assert _dkv_fits_vmem(8192, 4, 96)
+    assert not _dkv_fits_vmem(16384, 4, 96)
