@@ -14,7 +14,7 @@ nlq` benches the dual-tower NLQ flagship (249.5 clips/s/chip at the
 batch-8 default); `--model vq` the frozen-ViT tracker (14.76 samples/s,
 270.9 ms/step); `--model vq --eval` the sliding-window inference path
 (501 frames/s/chip); `--eval` (mq) the batched inference+NMS path
-(165 clips/s).
+(254 clips/s after the round-5 class-bucketed NMS).
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
 constant below is an estimate of the reference PyTorch pipeline's training

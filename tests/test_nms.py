@@ -158,3 +158,63 @@ def test_seg_voting_matches_torch(rng):
     w = w / w.sum(dim=1, keepdim=True)
     ref = w @ ta
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-4)
+
+
+def test_bucketed_multiclass_matches_full(rng):
+    """The class-partitioned fast path (per-class buckets + unrolled pick
+    loop) must reproduce the exact full-array multiclass NMS — including
+    tie-breaks (equal scores) and a skewed class — for both soft and hard
+    methods and any unroll factor. See ops/nms.py::_partition_by_class."""
+    M, C = 900, 16
+    for method_soft in (True, False):
+        segs = np.sort(rng.uniform(0, 300, (M, 2)).astype(np.float32), axis=1)
+        scores = rng.uniform(0.001, 1.0, M).astype(np.float32)
+        scores[::6] = 0.75  # ties exercise first-occurrence argmax order
+        cls = rng.integers(0, C, M).astype(np.int32)
+        cls[: M // 5] = 5   # skewed class (~180 cands), within the auto
+                            # bucket cap (256 for C=16, M=900, k=50)
+        valid = rng.uniform(size=M) > 0.1
+        kw = dict(num_classes=C, max_seg_num=50, iou_threshold=0.1,
+                  min_score=0.001, nms_sigma=0.9, voting_thresh=0.9,
+                  use_soft_nms=method_soft, multiclass=True)
+        args = (jnp.asarray(segs), jnp.asarray(scores), jnp.asarray(cls),
+                jnp.asarray(valid))
+        full = NMS.batched_nms(*args, per_class_capacity=0, unroll=1, **kw)
+        for cap, unroll in ((512, 8), (512, 16), (None, 16)):
+            fast = NMS.batched_nms(*args, per_class_capacity=cap,
+                                   unroll=unroll, **kw)
+            for name in ("segs", "scores", "labels", "valid"):
+                a = np.asarray(getattr(full, name))
+                b = np.asarray(getattr(fast, name))
+                assert np.array_equal(a, b), (method_soft, cap, unroll, name)
+
+
+def test_bucket_overflow_drops_lowest_scores_only():
+    """When one class exceeds the bucket capacity, only its lowest-
+    initial-score surplus is dropped; with a pick budget far below the
+    capacity the emitted detections still match the full path."""
+    M, C, cap = 300, 8, 128
+    rng = np.random.default_rng(3)
+    starts = np.arange(M, dtype=np.float32) * 10.0  # disjoint: no decay
+    segs = np.stack([starts, starts + 5.0], axis=1)
+    # the decode feeds candidates in global score-desc top-k order; the
+    # bucket's overflow-drop semantics assume that order (ops/nms.py)
+    scores = np.sort(rng.uniform(0.01, 1.0, M).astype(np.float32))[::-1].copy()
+    cls = np.zeros(M, np.int32)  # all candidates in one class: M > cap
+    valid = np.ones(M, bool)
+    kw = dict(num_classes=C, max_seg_num=20, iou_threshold=0.1,
+              min_score=0.001, nms_sigma=0.9, voting_thresh=0.9,
+              use_soft_nms=True, multiclass=True)
+    args = (jnp.asarray(segs), jnp.asarray(scores), jnp.asarray(cls),
+            jnp.asarray(valid))
+    full = NMS.batched_nms(*args, per_class_capacity=0, unroll=1, **kw)
+    fast = NMS.batched_nms(*args, per_class_capacity=cap, unroll=8, **kw)
+    # bucket keeps the 128 highest-score candidates; the 20-pick output over
+    # disjoint segments is the global top-20, identical either way
+    order = np.argsort(-scores, kind="stable")[:20]
+    np.testing.assert_allclose(
+        np.asarray(fast.scores)[np.asarray(fast.valid)],
+        np.sort(scores[order])[::-1], atol=0)
+    for name in ("segs", "scores", "labels", "valid"):
+        assert np.array_equal(np.asarray(getattr(full, name)),
+                              np.asarray(getattr(fast, name)))

@@ -1,6 +1,6 @@
 """Profile the MQ batched inference step (forward + decode + NMS).
 
-The eval bench measures 165 clips/s at batch 16 — barely above the train
+The eval bench measured 165 clips/s at batch 16 before the bucketed-NMS fix — barely above the train
 step's 137.8 despite being forward-only (~1/3 the FLOPs), so the decode/
 NMS chain is suspect. Traces the same jitted eval_fn bench.py uses.
 Writes /tmp/jax_trace_eval for parse_trace.py.

@@ -46,7 +46,7 @@ class NMSResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_out", "method")
+    jax.jit, static_argnames=("max_out", "method", "unroll")
 )
 def soft_nms_1d(
     segs: jax.Array,      # (M, 2)
@@ -57,6 +57,7 @@ def soft_nms_1d(
     sigma: float = 0.75,
     min_score: float = 0.001,
     method: str = "gaussian",   # gaussian | linear | hard
+    unroll: int = 1,
 ) -> NMSResult:
     """Greedy (soft-)NMS as a bounded on-device loop.
 
@@ -115,7 +116,7 @@ def soft_nms_1d(
         jnp.zeros((max_out,), jnp.bool_),
     )
     _, _, out_segs, out_scores, out_valid = jax.lax.fori_loop(
-        0, max_out, body, init
+        0, max_out, body, init, unroll=unroll
     )
     return NMSResult(out_segs, out_scores, out_valid)
 
@@ -158,6 +159,68 @@ class Detections(NamedTuple):
     valid: jax.Array    # (K,) bool
 
 
+def _partition_by_class(segs, scores, valid, cls_idx, num_classes, cap):
+    """Scatter candidates into per-class buckets of `cap` slots each.
+
+    The multiclass NMS previously ran every class lane over the FULL
+    (M,) candidate array with a class mask — (B, C, M) f32 state touched
+    ~5x per pick iteration. At the MQ flagship (B=16, C=110, M=5000,
+    200 picks) that is ~35 GB of HBM traffic per eval call, measured at
+    58 ms (~62% of the call; RESULTS.md round 5). But the M candidates
+    are a single global top-k split across classes (~M/C each), so each
+    lane only needs its own bucket: (B, C, cap) state cuts traffic by
+    ~M/cap (~10x at cap=512).
+
+    Within-class candidate order is preserved, so the greedy argmax
+    tie-break sequence is identical to the full-array form and the
+    result is EXACT for arbitrary input order whenever no class holds
+    more than `cap` valid candidates. On overflow the surplus beyond
+    `cap` is dropped in input order — the decode feeds candidates in
+    global score-desc top-k order (ops/decode.py), so what is dropped
+    is that class's lowest-initial-score tail (the reference gathers
+    per-class with no cap, MQ/libs/utils/nms.py:103-190 — deviation
+    documented in PARITY.md).
+    """
+    M = scores.shape[0]
+    cls_eff = jnp.where(valid, cls_idx, num_classes)  # invalid -> sentinel
+    onehot = (cls_eff[:, None] == jnp.arange(num_classes)[None, :])
+    rank_all = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1  # (M, C)
+    rank = jnp.where(
+        valid,
+        jnp.take_along_axis(
+            rank_all, jnp.clip(cls_eff, 0, num_classes - 1)[:, None], axis=1
+        )[:, 0],
+        cap,
+    )
+    keep = valid & (rank < cap)
+    slot = jnp.where(keep, cls_eff * cap + rank, num_classes * cap)
+    b_scores = jnp.zeros((num_classes * cap,), scores.dtype).at[slot].set(
+        scores, mode="drop")
+    b_segs = jnp.zeros((num_classes * cap, 2), segs.dtype).at[slot].set(
+        segs, mode="drop")
+    b_valid = jnp.zeros((num_classes * cap,), jnp.bool_).at[slot].set(
+        keep, mode="drop")
+    return (
+        b_segs.reshape(num_classes, cap, 2),
+        b_scores.reshape(num_classes, cap),
+        b_valid.reshape(num_classes, cap),
+    )
+
+
+def _auto_class_cap(num_classes: int, m: int, k_per: int) -> int | None:
+    """Bucket capacity policy: generous headroom (~8x the mean per-class
+    share and >=2x the pick budget, rounded up to a power of two), or
+    None when bucketing would not reduce the working set (few classes /
+    small M, e.g. NLQ's single-class decode stays on the exact path)."""
+    want = max(k_per, 4 * -(-m // num_classes), 64)
+    cap = 1
+    while cap < want:
+        cap *= 2
+    if cap >= m or num_classes < 8:
+        return None
+    return cap
+
+
 def batched_nms(
     segs: jax.Array,       # (M, 2)
     scores: jax.Array,     # (M,)
@@ -172,6 +235,8 @@ def batched_nms(
     use_soft_nms: bool = True,
     multiclass: bool = True,
     per_class_out: int | None = None,
+    per_class_capacity: int | None = None,
+    unroll: int = 16,
 ) -> Detections:
     """Multiclass / class-agnostic NMS + global top-k.
 
@@ -179,20 +244,40 @@ def batched_nms(
     over the class axis (the reference loops unique classes in Python),
     class-agnostic NMS additionally applies segment voting, then a global sort
     caps results at max_seg_num.
+
+    `per_class_capacity`: bucket size for the class-partitioned fast path
+    (None = auto policy `_auto_class_cap`; 0 = force the exact full-array
+    path). See `_partition_by_class` for the traffic analysis.
     """
     method = "gaussian" if use_soft_nms else "hard"
     if multiclass:
         k_per = per_class_out or max_seg_num
+        M = segs.shape[0]
+        cap = per_class_capacity
+        if cap is None:
+            cap = _auto_class_cap(num_classes, M, k_per)
+        if cap:
+            b_segs, b_scores, b_valid = _partition_by_class(
+                segs, scores, valid, cls_idx, num_classes, cap)
 
-        def per_class(c):
-            v = valid & (cls_idx == c)
-            return soft_nms_1d(
-                segs, scores, v, max_out=k_per,
-                iou_threshold=iou_threshold, sigma=nms_sigma,
-                min_score=min_score, method=method,
-            )
+            def per_bucket(s2, sc, va):
+                return soft_nms_1d(
+                    s2, sc, va, max_out=k_per,
+                    iou_threshold=iou_threshold, sigma=nms_sigma,
+                    min_score=min_score, method=method, unroll=unroll,
+                )
 
-        res = jax.vmap(per_class)(jnp.arange(num_classes))
+            res = jax.vmap(per_bucket)(b_segs, b_scores, b_valid)
+        else:
+            def per_class(c):
+                v = valid & (cls_idx == c)
+                return soft_nms_1d(
+                    segs, scores, v, max_out=k_per,
+                    iou_threshold=iou_threshold, sigma=nms_sigma,
+                    min_score=min_score, method=method, unroll=unroll,
+                )
+
+            res = jax.vmap(per_class)(jnp.arange(num_classes))
         out_segs = res.segs.reshape(-1, 2)
         out_scores = res.scores.reshape(-1)
         out_valid = res.valid.reshape(-1)
@@ -201,7 +286,7 @@ def batched_nms(
         res = soft_nms_1d(
             segs, scores, valid, max_out=max_seg_num,
             iou_threshold=iou_threshold, sigma=nms_sigma,
-            min_score=min_score, method=method,
+            min_score=min_score, method=method, unroll=unroll,
         )
         out_segs, out_scores, out_valid = res
         if voting_thresh > 0:
